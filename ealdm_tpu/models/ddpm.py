@@ -1,0 +1,370 @@
+"""DDPM / LatentDiffusion core, TPU-native flax.
+
+Parity target: `/root/reference/ldm/models/diffusion/ddpm.py`:
+  DDPM (46-425): beta-schedule tables, q_sample, p_losses, eps/x0
+      parameterization, lvlb weighting, per-timestep logvar.
+  LatentDiffusion (428-1440): frozen first stage + trainable cond stage,
+      latent scale factor, training-time classifier-free guidance with the
+      hardcoded scale 2.0 (`ddpm.py:442,1040-1048`), negative-cond built from
+      a random other-site image with env fusion disabled (`ddpm.py:885-893`).
+  DiffusionWrapper (1443-1469): conditioning_key dispatch
+      {None, concat, crossattn, hybrid, adm}.
+
+TPU design: one flax module tree (first stage frozen via stop_gradient +
+optimizer masking, not Python-level requires_grad), NHWC tensors, the CFG
+pair as a single 2N-batched UNet call, all tables baked as scanned constants.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.schedules import DiffusionSchedule, extract
+from .stdiff import UnetCond
+from .unet import UNetModel
+from .vae import AutoencoderKL, IdentityFirstStage, VQModel
+
+
+def build_unet(unet_config: Dict[str, Any], dtype=jnp.float32) -> UNetModel:
+    cfg = dict(unet_config)
+    cfg.pop("use_checkpoint", None)  # remat is applied by the trainer
+    cfg.pop("use_fp16", None)
+    for k in ("attention_resolutions", "channel_mult"):
+        if k in cfg:
+            cfg[k] = tuple(cfg[k])
+    return UNetModel(**cfg, dtype=dtype)
+
+
+def build_first_stage(config: Dict[str, Any], dtype=jnp.float32):
+    """Map a reference first_stage_config {target, params} to a flax module."""
+    target = config.get("target", "identity")
+    params = dict(config.get("params", {}))
+    params.pop("ckpt_path", None)
+    params.pop("lossconfig", None)
+    params.pop("image_key", None)
+    params.pop("monitor", None)
+    if target.endswith("VQModelInterface") or target.endswith("VQModel"):
+        return VQModel(
+            ddconfig=dict(params["ddconfig"]),
+            n_embed=params["n_embed"],
+            embed_dim=params["embed_dim"],
+            dtype=dtype,
+        )
+    if target.endswith("AutoencoderKL"):
+        return AutoencoderKL(
+            ddconfig=dict(params["ddconfig"]), embed_dim=params["embed_dim"], dtype=dtype
+        )
+    if "Identity" in target or target == "identity":
+        return IdentityFirstStage()
+    raise ValueError(f"unknown first stage target: {target}")
+
+
+def build_cond_stage(config, dtype=jnp.float32):
+    """Map cond_stage_config to a module (or the sentinel strings)."""
+    if config in ("__is_first_stage__", "__is_unconditional__", None):
+        return config
+    target = config.get("target", "")
+    params = dict(config.get("params", {}))
+    if target.endswith("UnetCond"):
+        params.pop("device", None)
+        cond_args = dict(params.pop("cond_args", {}))
+        # normalise YAML nulls inside noise tuples
+        if cond_args.get("noise_f_int"):
+            cond_args["noise_f_int"] = [t for t in cond_args["noise_f_int"] if t]
+        kwargs = {}
+        for k in ("mid_dim", "emb_dim", "out_dim", "w_dim", "f_dim",
+                  "hidden_dim", "num_layers", "num_ws"):
+            if k in params:
+                kwargs[k] = params[k]
+        if "dims" in cond_args:
+            kwargs["t_dim"] = int(cond_args["dims"])
+        return UnetCond(cond_args=cond_args, dtype=dtype, **kwargs)
+    from .encoders import build_encoder  # late import to avoid cycles
+
+    return build_encoder(target, params, dtype=dtype)
+
+
+class DiffusionWrapper(nn.Module):
+    """conditioning_key dispatch around the UNet denoiser."""
+
+    unet_config: Dict[str, Any]
+    conditioning_key: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        assert self.conditioning_key in (None, "concat", "crossattn", "hybrid", "adm")
+        self.diffusion_model = build_unet(self.unet_config, dtype=self.dtype)
+
+    def __call__(self, x, t, c_concat=None, c_crossattn=None, *, deterministic=True):
+        key = self.conditioning_key
+        if key is None:
+            return self.diffusion_model(x, t, deterministic=deterministic)
+        if key == "concat":
+            xc = jnp.concatenate([x] + list(c_concat), axis=-1)
+            return self.diffusion_model(xc, t, deterministic=deterministic)
+        if key == "crossattn":
+            cc = jnp.concatenate(list(c_crossattn), axis=1)
+            return self.diffusion_model(x, t, context=cc, deterministic=deterministic)
+        if key == "hybrid":
+            xc = jnp.concatenate([x] + list(c_concat), axis=-1)
+            cc = jnp.concatenate(list(c_crossattn), axis=1)
+            return self.diffusion_model(xc, t, context=cc, deterministic=deterministic)
+        if key == "adm":
+            return self.diffusion_model(x, t, y=c_crossattn[0], deterministic=deterministic)
+        raise NotImplementedError(key)
+
+
+class LatentDiffusion(nn.Module):
+    """Latent diffusion with frozen first stage + (trainable) cond stage."""
+
+    unet_config: Dict[str, Any]
+    first_stage_config: Optional[Dict[str, Any]] = None
+    cond_stage_config: Any = "__is_unconditional__"
+    timesteps: int = 1000
+    beta_schedule: str = "linear"
+    linear_start: float = 1e-4
+    linear_end: float = 2e-2
+    cosine_s: float = 8e-3
+    v_posterior: float = 0.0
+    parameterization: str = "eps"
+    loss_type: str = "l2"
+    conditioning_key: Optional[str] = None
+    cond_stage_key: str = "image"
+    cond_stage_trainable: bool = False
+    scale_factor: float = 1.0
+    unconditional_guidance_scale: float = 2.0  # training-time CFG (ddpm.py:442)
+    learn_logvar: bool = False
+    logvar_init: float = 0.0
+    l_simple_weight: float = 1.0
+    original_elbo_weight: float = 0.0
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.schedule = DiffusionSchedule.create(
+            timesteps=self.timesteps,
+            beta_schedule=self.beta_schedule,
+            linear_start=self.linear_start,
+            linear_end=self.linear_end,
+            cosine_s=self.cosine_s,
+            v_posterior=self.v_posterior,
+            parameterization=self.parameterization,
+        )
+        self.model = DiffusionWrapper(
+            self.unet_config, self.conditioning_key, dtype=self.dtype, name="model"
+        )
+        if self.first_stage_config is not None:
+            self.first_stage_model = build_first_stage(
+                self.first_stage_config, dtype=self.dtype
+            )
+        else:
+            self.first_stage_model = IdentityFirstStage()
+        cond = build_cond_stage(self.cond_stage_config, dtype=self.dtype)
+        if isinstance(cond, str) or cond is None:
+            self.cond_stage_model = None
+            self._cond_sentinel = cond
+        else:
+            self.cond_stage_model = cond
+            self._cond_sentinel = None
+        if self.learn_logvar:
+            self.logvar = self.param(
+                "logvar",
+                lambda rng: jnp.full((self.timesteps,), self.logvar_init, jnp.float32),
+            )
+        else:
+            self.logvar = jnp.full((self.timesteps,), self.logvar_init, jnp.float32)
+
+    # ------------------------------------------------------------- first stage
+    def encode_first_stage(self, x, rng=None, sample_posterior: bool = True):
+        """Image -> (un-quantized / sampled) latent; gradients stopped."""
+        fs = self.first_stage_model
+        if isinstance(fs, VQModel):
+            z = fs.encode_prequant(x)
+        elif isinstance(fs, AutoencoderKL):
+            posterior = fs.encode(x)
+            z = posterior.sample(rng) if sample_posterior else posterior.mode()
+        else:
+            z = fs.encode(x)
+        return jax.lax.stop_gradient(z)
+
+    def get_first_stage_encoding(self, z):
+        return self.scale_factor * z
+
+    def decode_first_stage(self, z, force_not_quantize: bool = False):
+        z = (1.0 / self.scale_factor) * z
+        fs = self.first_stage_model
+        if isinstance(fs, VQModel):
+            return fs.decode_interface(z, force_not_quantize=force_not_quantize)
+        return fs.decode(z)
+
+    def quantize_latent(self, z):
+        """VQ-quantize a (scaled) latent; used for the 'diff_samples' path."""
+        fs = self.first_stage_model
+        if isinstance(fs, VQModel):
+            zq, _, _ = fs.quantize(z)
+            return zq
+        return z
+
+    # ------------------------------------------------------------- conditioning
+    def get_learned_conditioning(self, cond, fuse_env: bool = True, *, deterministic=True):
+        """Encode conditioning. For `mixed` cond, `cond` is a dict with keys
+        img/flow/weather/time (+ img_random when building the negative)."""
+        if self.cond_stage_model is None:
+            return cond
+        if self.cond_stage_key == "mixed":
+            img = cond["img"]
+            # image branch through the FROZEN first-stage encoder
+            feat = jax.lax.stop_gradient(self._mixed_image_features(img))
+            return self.cond_stage_model(
+                feat,
+                cond["flow"],
+                cond["weather"],
+                cond["time"],
+                fuse_env=fuse_env,
+                deterministic=deterministic,
+            )
+        return self.cond_stage_model(cond, deterministic=deterministic)
+
+    def _mixed_image_features(self, img):
+        fs = self.first_stage_model
+        if isinstance(fs, VQModel):
+            return fs.encoder(img)
+        if isinstance(fs, AutoencoderKL):
+            return fs.encoder(img)
+        return img
+
+    # ------------------------------------------------------------- diffusion math
+    def q_sample(self, x_start, t, noise):
+        s = self.schedule
+        return (
+            extract(s.sqrt_alphas_cumprod, t, x_start.ndim) * x_start
+            + extract(s.sqrt_one_minus_alphas_cumprod, t, x_start.ndim) * noise
+        )
+
+    def predict_start_from_noise(self, x_t, t, noise):
+        s = self.schedule
+        return (
+            extract(s.sqrt_recip_alphas_cumprod, t, x_t.ndim) * x_t
+            - extract(s.sqrt_recipm1_alphas_cumprod, t, x_t.ndim) * noise
+        )
+
+    def q_posterior(self, x_start, x_t, t):
+        s = self.schedule
+        mean = (
+            extract(s.posterior_mean_coef1, t, x_t.ndim) * x_start
+            + extract(s.posterior_mean_coef2, t, x_t.ndim) * x_t
+        )
+        var = extract(s.posterior_variance, t, x_t.ndim)
+        log_var = extract(s.posterior_log_variance_clipped, t, x_t.ndim)
+        return mean, var, log_var
+
+    def apply_model(self, x_noisy, t, cond_context, *, deterministic=True):
+        """Run the denoiser with already-encoded conditioning context."""
+        if self.conditioning_key is None or cond_context is None:
+            return self.model(x_noisy, t, deterministic=deterministic)
+        if self.conditioning_key in ("crossattn", "hybrid", "adm"):
+            return self.model(
+                x_noisy, t, c_crossattn=[cond_context], deterministic=deterministic
+            )
+        return self.model(x_noisy, t, c_concat=[cond_context], deterministic=deterministic)
+
+    # ------------------------------------------------------------- losses
+    def _pixel_loss(self, pred, target):
+        if self.loss_type == "l1":
+            return jnp.abs(target - pred)
+        if self.loss_type == "l2":
+            return jnp.square(target - pred)
+        raise NotImplementedError(self.loss_type)
+
+    def p_losses(self, x_start, cond_context, t, noise, *, deterministic=False):
+        """Diffusion loss; cond_context is None or [B,...] or [2B,...] (CFG pair:
+        first half negative, second half positive, reference ddpm.py:1040-1048)."""
+        x_noisy = self.q_sample(x_start, t, noise)
+        cfg = (
+            cond_context is not None
+            and self.unconditional_guidance_scale != 1.0
+            and cond_context.shape[0] == 2 * x_start.shape[0]
+        )
+        if cfg:
+            x_in = jnp.concatenate([x_noisy] * 2)
+            t_in = jnp.concatenate([t] * 2)
+            out = self.apply_model(x_in, t_in, cond_context, deterministic=deterministic)
+            e_uncond, e_cond = jnp.split(out, 2, axis=0)
+            model_output = e_uncond + self.unconditional_guidance_scale * (
+                e_cond - e_uncond
+            )
+        else:
+            model_output = self.apply_model(
+                x_noisy, t, cond_context, deterministic=deterministic
+            )
+
+        target = noise if self.parameterization == "eps" else x_start
+        loss_simple = jnp.mean(
+            self._pixel_loss(model_output, target), axis=tuple(range(1, x_start.ndim))
+        )
+        logvar_t = jnp.take(self.logvar, t)
+        loss = loss_simple / jnp.exp(logvar_t) + logvar_t
+        loss = self.l_simple_weight * jnp.mean(loss)
+        loss_vlb = jnp.mean(jnp.take(self.schedule.lvlb_weights, t) * loss_simple)
+        total = loss + self.original_elbo_weight * loss_vlb
+        metrics = {
+            "loss_simple": jnp.mean(loss_simple),
+            "loss_vlb": loss_vlb,
+            "loss": total,
+        }
+        return total, metrics
+
+    # ------------------------------------------------------------- train entry
+    def training_loss(self, batch: Dict[str, Any], rng: jax.Array, *, train: bool = True):
+        """Full EALDM training objective for one batch.
+
+        batch: {"img": [B,H,W,3] target frames, "mixed": {...}} for the
+        conditional model, or {"img": ...} for unconditional.
+        """
+        rngs = jax.random.split(rng, 4)
+        x = batch[  # target frame(s)
+            "img"
+        ]
+        z = self.encode_first_stage(x, rng=rngs[0])
+        z = self.get_first_stage_encoding(z)
+
+        t = jax.random.randint(rngs[1], (z.shape[0],), 0, self.timesteps)
+        noise = jax.random.normal(rngs[2], z.shape, z.dtype)
+
+        cond_context = None
+        if self.conditioning_key is not None and self.cond_stage_key == "mixed":
+            mixed = batch["mixed"]
+            if self.unconditional_guidance_scale != 1.0:
+                # negative branch: random other-site image, env fusion off
+                neg = dict(mixed)
+                neg["img"] = mixed["img_random"]
+                c_neg = self.get_learned_conditioning(
+                    neg, fuse_env=False, deterministic=not train
+                )
+                c_pos = self.get_learned_conditioning(
+                    mixed, fuse_env=True, deterministic=not train
+                )
+                cond_context = jnp.concatenate([c_neg, c_pos], axis=0)
+            else:
+                cond_context = self.get_learned_conditioning(
+                    mixed, fuse_env=True, deterministic=not train
+                )
+        elif self.conditioning_key is not None:
+            cond_context = self.get_learned_conditioning(
+                batch[self.cond_stage_key], deterministic=not train
+            )
+
+        return self.p_losses(z, cond_context, t, noise, deterministic=not train)
+
+    def __call__(self, batch, rng, *, train: bool = False):
+        return self.training_loss(batch, rng, train=train)
+
+
+class DDPM(LatentDiffusion):
+    """Pixel-space DDPM: identity first stage, no conditioning (API parity)."""
+
+    first_stage_config: Optional[Dict[str, Any]] = None
+    cond_stage_config: Any = "__is_unconditional__"
+    unconditional_guidance_scale: float = 1.0

@@ -1,0 +1,320 @@
+"""Shared flax.linen building blocks for the UNet denoiser (NHWC).
+
+Parity map (all against /root/reference):
+  ResBlock            ldm/modules/diffusionmodules/openaimodel.py:163-275
+  Upsample/Downsample openaimodel.py:91-160
+  CrossAttention      ldm/modules/attention.py:152-193
+  BasicTransformerBlock attention.py:196-215
+  SpatialTransformer  attention.py:218-261
+  GEGLU / FeedForward attention.py:37-63
+  AttentionBlock (QKV self-attn) openaimodel.py:278-341 + QKVAttentionLegacy
+
+Design: channel-last (NHWC) tensors, fp32 GroupNorm statistics, attention via
+the fused sdpa/flash kernels in ops.attention, zero-initialised output
+projections exactly where the reference zero-inits (`zero_module`).
+Gradient checkpointing is applied at the UNet level with jax.checkpoint
+instead of per-module torch checkpoint wrappers.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import flash_attention, sdpa
+from ..ops.norms import group_norm, silu
+
+Dtype = jnp.dtype
+
+# Token count at/above which the Pallas flash kernel beats the dense einsum.
+FLASH_MIN_TOKENS = 4096
+
+
+def conv3x3(features, name=None, dtype=jnp.float32, zero_init=False):
+    kwargs = {}
+    if zero_init:
+        kwargs = dict(
+            kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros
+        )
+    return nn.Conv(features, (3, 3), padding=1, name=name, dtype=dtype, **kwargs)
+
+
+def conv1x1(features, name=None, dtype=jnp.float32, zero_init=False):
+    kwargs = {}
+    if zero_init:
+        kwargs = dict(
+            kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros
+        )
+    return nn.Conv(features, (1, 1), name=name, dtype=dtype, **kwargs)
+
+
+class GroupNorm32(nn.Module):
+    """GroupNorm with fp32 statistics (reference `GroupNorm32`)."""
+
+    num_groups: int = 32
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, act: Optional[Callable] = None):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        return group_norm(
+            x, scale, bias, num_groups=self.num_groups, eps=self.eps, act=act
+        )
+
+
+class Upsample(nn.Module):
+    """2x nearest-neighbour upsample + optional 3x3 conv."""
+
+    out_channels: Optional[int] = None
+    use_conv: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        n, h, w, c = x.shape
+        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        if self.use_conv:
+            x = conv3x3(self.out_channels or c, name="conv", dtype=self.dtype)(x)
+        return x
+
+
+class Downsample(nn.Module):
+    """stride-2 3x3 conv (symmetric pad=1, UNet flavour) or 2x2 avg-pool."""
+
+    out_channels: Optional[int] = None
+    use_conv: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        if self.use_conv:
+            return nn.Conv(
+                self.out_channels or c,
+                (3, 3),
+                strides=(2, 2),
+                padding=1,
+                name="op",
+                dtype=self.dtype,
+            )(x)
+        assert self.out_channels in (None, c)
+        return nn.avg_pool(x, (2, 2), strides=(2, 2))
+
+
+class ResBlock(nn.Module):
+    """GroupNorm-SiLU-conv residual block with timestep-embedding injection."""
+
+    out_channels: Optional[int] = None
+    dropout: float = 0.0
+    use_scale_shift_norm: bool = False
+    use_conv_skip: bool = False  # 3x3 instead of 1x1 on channel-changing skip
+    up: bool = False
+    down: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, emb, *, deterministic: bool = True):
+        c = x.shape[-1]
+        out_ch = self.out_channels or c
+
+        h = GroupNorm32(name="in_norm")(x, act=silu)
+        if self.up or self.down:
+            resample = Upsample(use_conv=False) if self.up else Downsample(use_conv=False)
+            h = resample(h)
+            x = resample(x)
+        h = conv3x3(out_ch, name="in_conv", dtype=self.dtype)(h)
+
+        emb_out = nn.Dense(
+            2 * out_ch if self.use_scale_shift_norm else out_ch,
+            name="emb_proj",
+            dtype=self.dtype,
+        )(silu(emb))
+        emb_out = emb_out[:, None, None, :]
+
+        if self.use_scale_shift_norm:
+            scale, shift = jnp.split(emb_out, 2, axis=-1)
+            h = GroupNorm32(name="out_norm")(h) * (1 + scale) + shift
+            h = silu(h)
+        else:
+            h = h + emb_out.astype(h.dtype)
+            h = GroupNorm32(name="out_norm")(h, act=silu)
+        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        h = conv3x3(out_ch, name="out_conv", dtype=self.dtype, zero_init=True)(h)
+
+        if out_ch == c:
+            skip = x
+        elif self.use_conv_skip:
+            skip = conv3x3(out_ch, name="skip", dtype=self.dtype)(x)
+        else:
+            skip = conv1x1(out_ch, name="skip", dtype=self.dtype)(x)
+        return skip + h
+
+
+def _attend(q, k, v):
+    """[B, H, N, D] attention; picks flash kernel for long sequences on TPU."""
+    n = q.shape[2]
+    if (
+        n >= FLASH_MIN_TOKENS
+        and n == k.shape[2]
+        and jax.default_backend() == "tpu"
+        and n % 256 == 0
+    ):
+        return flash_attention(q, k, v)
+    return sdpa(q, k, v)
+
+
+class CrossAttention(nn.Module):
+    """Multi-head attention; self-attention when context is None."""
+
+    heads: int = 8
+    dim_head: int = 64
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None, *, deterministic: bool = True):
+        b, n, c = x.shape
+        inner = self.heads * self.dim_head
+        context = x if context is None else context
+        m = context.shape[1]
+
+        q = nn.Dense(inner, use_bias=False, name="to_q", dtype=self.dtype)(x)
+        k = nn.Dense(inner, use_bias=False, name="to_k", dtype=self.dtype)(context)
+        v = nn.Dense(inner, use_bias=False, name="to_v", dtype=self.dtype)(context)
+
+        def split(t, length):
+            return t.reshape(b, length, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+
+        out = _attend(split(q, n), split(k, m), split(v, m))
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
+        out = nn.Dense(c, name="to_out", dtype=self.dtype)(out)
+        return nn.Dropout(self.dropout, deterministic=deterministic)(out)
+
+
+class GEGLU(nn.Module):
+    dim_out: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.dim_out * 2, name="proj", dtype=self.dtype)(x)
+        x, gate = jnp.split(x, 2, axis=-1)
+        return x * nn.gelu(gate)
+
+
+class FeedForward(nn.Module):
+    mult: int = 4
+    glu: bool = True
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        c = x.shape[-1]
+        inner = int(c * self.mult)
+        if self.glu:
+            h = GEGLU(inner, name="geglu", dtype=self.dtype)(x)
+        else:
+            h = nn.gelu(nn.Dense(inner, name="in_proj", dtype=self.dtype)(x))
+        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        return nn.Dense(c, name="out_proj", dtype=self.dtype)(h)
+
+
+class BasicTransformerBlock(nn.Module):
+    heads: int
+    dim_head: int
+    dropout: float = 0.0
+    gated_ff: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None, *, deterministic: bool = True):
+        x = (
+            CrossAttention(
+                self.heads, self.dim_head, self.dropout, name="attn1", dtype=self.dtype
+            )(nn.LayerNorm(name="norm1")(x), deterministic=deterministic)
+            + x
+        )
+        x = (
+            CrossAttention(
+                self.heads, self.dim_head, self.dropout, name="attn2", dtype=self.dtype
+            )(
+                nn.LayerNorm(name="norm2")(x),
+                context=context,
+                deterministic=deterministic,
+            )
+            + x
+        )
+        x = (
+            FeedForward(glu=self.gated_ff, dropout=self.dropout, name="ff", dtype=self.dtype)(
+                nn.LayerNorm(name="norm3")(x), deterministic=deterministic
+            )
+            + x
+        )
+        return x
+
+
+class SpatialTransformer(nn.Module):
+    """Project NHWC features to tokens, run transformer blocks, project back."""
+
+    heads: int
+    dim_head: int
+    depth: int = 1
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None, *, deterministic: bool = True):
+        b, h, w, c = x.shape
+        inner = self.heads * self.dim_head
+        x_in = x
+        x = GroupNorm32(eps=1e-6, name="norm")(x)
+        x = conv1x1(inner, name="proj_in", dtype=self.dtype)(x)
+        x = x.reshape(b, h * w, inner)
+        for i in range(self.depth):
+            x = BasicTransformerBlock(
+                self.heads,
+                self.dim_head,
+                self.dropout,
+                name=f"block_{i}",
+                dtype=self.dtype,
+            )(x, context=context, deterministic=deterministic)
+        x = x.reshape(b, h, w, inner)
+        x = conv1x1(c, name="proj_out", dtype=self.dtype, zero_init=True)(x)
+        return x + x_in
+
+
+class AttentionBlock(nn.Module):
+    """QKV self-attention over flattened spatial (ADM AttentionBlock)."""
+
+    num_heads: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        assert c % self.num_heads == 0
+        head_dim = c // self.num_heads
+        n = h * w
+        y = GroupNorm32(name="norm")(x).reshape(b, n, c)
+        qkv = nn.Dense(3 * c, name="qkv", dtype=self.dtype)(y)
+        # legacy layout: heads split before qkv split: [B, N, H, 3*hd]
+        qkv = qkv.reshape(b, n, self.num_heads, 3 * head_dim)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.transpose(0, 2, 1, 3)
+        k = k.transpose(0, 2, 1, 3)
+        v = v.transpose(0, 2, 1, 3)
+        out = _attend(q, k, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
+        out = nn.Dense(
+            c,
+            name="proj_out",
+            dtype=self.dtype,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+        )(out)
+        return x + out.reshape(b, h, w, c)

