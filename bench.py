@@ -1,0 +1,178 @@
+"""Benchmark: 256^2 DDIM-50 sampling throughput on one TPU chip.
+
+Pipeline measured (the reference's headline path,
+`scripts/sample_diffusion.py` + stdiff conditioning): STDiff cond tower ->
+50-step DDIM lax.scan with CFG as one 2N-batched UNet call -> VQ-f8 decode
+to 256^2 RGB. Everything HBM-resident in ONE jitted program.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference publishes no numbers (BASELINE.md); the A100
+anchor used here is an estimate for the PyTorch reference stack (LDM vq-f8
+256^2, DDIM-50 with CFG => 100 UNet evals/image, fp32 eager PyTorch 1.7 —
+~3 img/s/A100 is the usual published ballpark for this config). Replace with
+a measured number when a GPU host is available.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+A100_REFERENCE_IMG_PER_S = 3.0  # documented estimate, see module docstring
+
+
+def main(batch_size: int = 8, steps: int = 50, tiny: bool = False):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ealdm_tpu.models.ddpm import LatentDiffusion
+    from ealdm_tpu.ops.schedules import DDIMSchedule, DiffusionSchedule
+    from ealdm_tpu.samplers import DDIMConfig, ddim_sample
+
+    if tiny:
+        res, zres, ch, nembed = 64, 8, 32, 64
+        unet = dict(
+            image_size=8, in_channels=4, out_channels=4, model_channels=64,
+            attention_resolutions=[4, 2, 1], num_res_blocks=1,
+            channel_mult=[1, 2], num_head_channels=32,
+            use_spatial_transformer=True, transformer_depth=1, context_dim=512,
+        )
+    else:
+        res, zres, ch, nembed = 256, 32, 128, 16384
+        unet = dict(
+            image_size=32, in_channels=4, out_channels=4, model_channels=256,
+            attention_resolutions=[4, 2, 1], num_res_blocks=2,
+            channel_mult=[1, 2, 4], num_head_channels=32,
+            use_spatial_transformer=True, transformer_depth=1, context_dim=512,
+        )
+
+    first_stage = {
+        "target": "ldm.models.autoencoder.VQModelInterface",
+        "params": {
+            "embed_dim": 4, "n_embed": nembed,
+            "ddconfig": dict(
+                double_z=False, z_channels=4, resolution=res, in_channels=3,
+                out_ch=3, ch=ch, ch_mult=[1, 2, 2, 4], num_res_blocks=2,
+                attn_resolutions=[zres], dropout=0.0,
+            ),
+        },
+    }
+    cond = {
+        "target": "STDiff.models.UnetCond",
+        "params": {
+            "mid_dim": 4, "emb_dim": 128, "out_dim": 512, "w_dim": 16,
+            "f_dim": 1, "hidden_dim": 1024,
+            "cond_args": {
+                "type": "fourier", "dims": 6, "lr": 1, "lin_lr": 0.01,
+                "f_manual": [1.8398, 672], "include_lin": True,
+                "noise": 0, "noise_f": [263.2, 7.79, 0], "noise_f_int": [],
+            },
+        },
+    }
+
+    model = LatentDiffusion(
+        unet_config=unet,
+        first_stage_config=first_stage,
+        cond_stage_config=cond,
+        timesteps=1000,
+        linear_start=0.0015,
+        linear_end=0.0195,
+        conditioning_key="crossattn",
+        cond_stage_key="mixed",
+        cond_stage_trainable=True,
+        unconditional_guidance_scale=2.0,
+        dtype=jnp.bfloat16,
+    )
+
+    rng = np.random.RandomState(0)
+    b = batch_size
+    batch = {
+        "img": jnp.asarray(rng.randn(b, res, res, 3), jnp.float32),
+        "mixed": {
+            "img": jnp.asarray(rng.randn(b, res, res, 3), jnp.float32),
+            "img_random": jnp.asarray(rng.randn(b, res, res, 3), jnp.float32),
+            "flow": jnp.asarray(rng.randn(b, 1, 1), jnp.float32),
+            "weather": jnp.asarray(rng.randn(b, 1, 16), jnp.float32),
+            "time": jnp.asarray(rng.rand(b, 1), jnp.float32),
+        },
+    }
+
+    init_rng = jax.random.PRNGKey(0)
+    # Throughput bench: param VALUES are irrelevant — materialize the tree
+    # from eval_shape (no init-program compile on the 1-core host).
+    shapes = jax.eval_shape(
+        lambda r: model.init(
+            {"params": r, "dropout": r}, batch, r, method=model.full_init
+        ),
+        init_rng,
+    )
+    variables = jax.tree_util.tree_map(
+        lambda s: jnp.full(s.shape, 0.02, s.dtype), shapes
+    )
+
+    sched = DiffusionSchedule.create(
+        timesteps=1000, linear_start=0.0015, linear_end=0.0195
+    )
+    ddim = DDIMSchedule.create(sched, steps, eta=1.0)
+    cfg = DDIMConfig(num_steps=steps, eta=1.0, unconditional_guidance_scale=2.0)
+
+    def sample_program(variables, mixed, rng):
+        """cond tower -> DDIM scan (CFG batched) -> VQ decode, one program."""
+        c_pos = model.apply(
+            variables, mixed, True, method=model.get_learned_conditioning
+        )
+        neg = dict(mixed)
+        neg["img"] = mixed["img_random"]
+        c_neg = model.apply(
+            variables, neg, False, method=model.get_learned_conditioning
+        )
+
+        def eps_fn(x, t, ctx):
+            return model.apply(variables, x, t, ctx, method=model.apply_model)
+
+        z = ddim_sample(
+            eps_fn, rng, (b, zres, zres, 4), ddim, cfg, cond=c_pos, uncond=c_neg
+        )
+        return model.apply(variables, z, method=model.decode_first_stage)
+
+    fn = jax.jit(sample_program)
+    # compile + warmup
+    t0 = time.perf_counter()
+    out = fn(variables, batch["mixed"], jax.random.PRNGKey(1))
+    out.block_until_ready()
+    compile_s = time.perf_counter() - t0
+
+    iters = 3
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = fn(variables, batch["mixed"], jax.random.PRNGKey(2 + i))
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+    img_per_s = b / dt
+
+    result = {
+        "metric": f"{res}^2 DDIM-{steps} CFG images/sec/chip (stdiff cond + VQ decode)",
+        "value": round(img_per_s, 3),
+        "unit": "img/s",
+        "vs_baseline": round(img_per_s / A100_REFERENCE_IMG_PER_S, 2),
+    }
+    print(json.dumps(result))
+    import sys
+
+    print(
+        f"# batch={b} steps={steps} res={res} dt={dt*1e3:.1f}ms "
+        f"compile={compile_s:.1f}s out={tuple(out.shape)}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--steps", type=int, default=50)
+    p.add_argument("--tiny", action="store_true")
+    a = p.parse_args()
+    main(a.batch_size, a.steps, a.tiny)

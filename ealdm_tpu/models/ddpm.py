@@ -361,6 +361,16 @@ class LatentDiffusion(nn.Module):
     def __call__(self, batch, rng, *, train: bool = False):
         return self.training_loss(batch, rng, train=train)
 
+    def full_init(self, batch, rng):
+        """Init-time entry that touches EVERY submodule (training path plus
+        first-stage decode/quantize), so one `model.init(...,
+        method=model.full_init)` yields the complete parameter tree."""
+        loss, metrics = self.training_loss(batch, rng, train=False)
+        z = self.encode_first_stage(batch["img"][:1], rng=rng)
+        z = self.get_first_stage_encoding(z)
+        self.decode_first_stage(z)  # touches quantizer + decoder params
+        return loss, metrics
+
 
 class DDPM(LatentDiffusion):
     """Pixel-space DDPM: identity first stage, no conditioning (API parity)."""

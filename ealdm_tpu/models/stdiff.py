@@ -274,6 +274,13 @@ class AdaIN(nn.Module):
         return x * (1.0 + gamma[:, None, None, :]) + beta[:, None, None, :]
 
 
+def _norm_groups(c: int) -> int:
+    for g in (32, 16, 8, 4, 2, 1):
+        if c % g == 0:
+            return g
+    return 1
+
+
 # -------------------------------------------------------------- the tower
 class UnetCond(nn.Module):
     """Environment-aware conditioning tower -> cross-attention context.
@@ -336,8 +343,12 @@ class UnetCond(nn.Module):
 
             combined = jnp.concatenate([h, w_style, f_style, ts_style], axis=-1)
             combined = nn.Conv(self.mid_dim, (3, 3), padding=1, name="conv_cat_0", dtype=self.dtype)(combined)
-            combined = nn.BatchNorm(
-                use_running_average=deterministic, name="conv_cat_bn"
+            # TPU-first deviation: the reference's BatchNorm2d here
+            # (`STDiff/models.py:476`) carries running stats that would need
+            # cross-replica sync under SPMD; GroupNorm is stateless with the
+            # same normalize-then-affine role. Documented, intentional.
+            combined = nn.GroupNorm(
+                num_groups=_norm_groups(self.mid_dim), name="conv_cat_norm"
             )(combined)
             combined = nn.relu(combined)
             combined = nn.Conv(self.mid_dim, (3, 3), padding=1, name="conv_cat_3", dtype=self.dtype)(combined)

@@ -23,11 +23,19 @@ def silu(x):
     return x * jax.nn.sigmoid(x)
 
 
+def resolve_num_groups(c: int, num_groups: int) -> int:
+    """Largest group count <= num_groups that divides c (tiny-channel safe)."""
+    g = min(num_groups, c)
+    while c % g != 0:
+        g -= 1
+    return g
+
+
 def group_norm(x, scale, bias, num_groups=32, eps=1e-5, act=None):
     """GroupNorm over NHWC input; statistics in fp32; optional fused act."""
     in_dtype = x.dtype
     n, h, w, c = x.shape
-    assert c % num_groups == 0, (c, num_groups)
+    num_groups = resolve_num_groups(c, num_groups)
     xf = x.astype(jnp.float32).reshape(n, h, w, num_groups, c // num_groups)
     mean = jnp.mean(xf, axis=(1, 2, 4), keepdims=True)
     var = jnp.mean(jnp.square(xf - mean), axis=(1, 2, 4), keepdims=True)

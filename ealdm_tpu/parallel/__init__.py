@@ -14,6 +14,8 @@ from .sharding import (
     replicate,
     shard_batch,
     shard_params,
+    shard_state,
+    state_sharding_rules,
 )
 
 __all__ = [
@@ -26,4 +28,6 @@ __all__ = [
     "replicate",
     "shard_batch",
     "shard_params",
+    "shard_state",
+    "state_sharding_rules",
 ]

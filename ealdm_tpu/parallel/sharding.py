@@ -57,3 +57,27 @@ def shard_params(params: Any, mesh: Mesh) -> Any:
 def replicate(tree: Any, mesh: Mesh) -> Any:
     sh = NamedSharding(mesh, P())
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def _shape_based_spec(leaf, tp: int) -> P:
+    """Generic TP rule by shape: shard the last (output-feature) axis when it
+    divides the model-axis size. Applies uniformly to params, Adam moments
+    and EMA shadows (same shapes), so the whole TrainState stays consistent."""
+    if getattr(leaf, "ndim", 0) >= 2 and leaf.shape[-1] % tp == 0 and leaf.shape[-1] >= 2 * tp:
+        return P(*([None] * (leaf.ndim - 1) + ["model"]))
+    return P()
+
+
+def state_sharding_rules(state: Any, mesh: Mesh) -> Any:
+    """NamedSharding pytree for a full TrainState under the given mesh."""
+    tp = mesh.shape.get("model", 1)
+    if tp == 1:
+        return jax.tree_util.tree_map(lambda _: NamedSharding(mesh, P()), state)
+    return jax.tree_util.tree_map(
+        lambda leaf: NamedSharding(mesh, _shape_based_spec(leaf, tp)), state
+    )
+
+
+def shard_state(state: Any, mesh: Mesh) -> Any:
+    shardings = state_sharding_rules(state, mesh)
+    return jax.tree_util.tree_map(jax.device_put, state, shardings)
