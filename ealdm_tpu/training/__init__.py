@@ -14,6 +14,12 @@ from .trainer import (
     make_optimizer,
     make_train_step,
 )
+from .vae_trainer import (
+    VAETrainState,
+    init_vae_train_state,
+    make_vae_eval_step,
+    make_vae_train_step,
+)
 
 __all__ = [
     "EmaState",
@@ -28,4 +34,8 @@ __all__ = [
     "make_eval_step",
     "make_optimizer",
     "make_train_step",
+    "VAETrainState",
+    "init_vae_train_state",
+    "make_vae_eval_step",
+    "make_vae_train_step",
 ]
