@@ -87,6 +87,21 @@ _REGISTRY = {
     "taming.modules.losses.vqperceptual.VQLPIPSWithDiscriminator": "ealdm_tpu.losses.vqperceptual:VQLPIPSWithDiscriminator",
     "ldm.modules.losses.vqperceptual.VQLPIPSWithDiscriminator": "ealdm_tpu.losses.vqperceptual:VQLPIPSWithDiscriminator",
     "torch.nn.Identity": "ealdm_tpu.config:_identity",
+    # data layer
+    "main.DataModuleFromConfig": "ealdm_tpu.data.pipeline:DataModule",
+    "STDiff.dataset_wlbl.ImageNetVidDataset": "ealdm_tpu.data.stdiff:StreamCameraDataset",
+    "STDiff.dataset.ImageNetVidDataset": "ealdm_tpu.data.stdiff:StreamCameraDataset",
+    "STDiff.third_stage_dataset.ThirdStageDataset": "ealdm_tpu.data.third_stage:ThirdStageDataset",
+    "ldm.data.lsun.LSUNChurchesTrain": "ealdm_tpu.data.images:ImageFolderDataset",
+    "ldm.data.lsun.LSUNChurchesValidation": "ealdm_tpu.data.images:ImageFolderDataset",
+    "ldm.data.lsun.LSUNBedroomsTrain": "ealdm_tpu.data.images:ImageFolderDataset",
+    "ldm.data.lsun.LSUNBedroomsValidation": "ealdm_tpu.data.images:ImageFolderDataset",
+    "ldm.data.lsun.LSUNCatsTrain": "ealdm_tpu.data.images:ImageFolderDataset",
+    "ldm.data.lsun.LSUNCatsValidation": "ealdm_tpu.data.images:ImageFolderDataset",
+    "ldm.data.imagenet.ImageNetSRTrain": "ealdm_tpu.data.images:ImageSRDataset",
+    "ldm.data.imagenet.ImageNetSRValidation": "ealdm_tpu.data.images:ImageSRDataset",
+    "ldm.data.imagenet.ImageNetTrain": "ealdm_tpu.data.images:ImageFolderDataset",
+    "ldm.data.imagenet.ImageNetValidation": "ealdm_tpu.data.images:ImageFolderDataset",
 }
 
 

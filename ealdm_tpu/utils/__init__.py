@@ -1,0 +1,17 @@
+"""Utilities: torch checkpoint interop, misc helpers."""
+
+from .torch_import import (
+    export_state_dict,
+    import_state_dict,
+    load_torch_checkpoint,
+    unet_key_map,
+    vae_key_map,
+)
+
+__all__ = [
+    "export_state_dict",
+    "import_state_dict",
+    "load_torch_checkpoint",
+    "unet_key_map",
+    "vae_key_map",
+]
