@@ -24,6 +24,8 @@ A100_REFERENCE_IMG_PER_S = 3.0  # documented estimate, see module docstring
 def main(batch_size: int = 8, steps: int = 50, tiny: bool = False):
     import jax
     import jax.numpy as jnp
+    from ealdm_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
     import numpy as np
 
     from ealdm_tpu.models.ddpm import LatentDiffusion

@@ -30,9 +30,16 @@ def deep_merge(base: Dict, override: Dict) -> Dict:
 
 def _parse_value(s: str) -> Any:
     try:
-        return yaml.safe_load(s)
+        v = yaml.safe_load(s)
     except yaml.YAMLError:
         return s
+    if isinstance(v, str):
+        # YAML 1.1 misses bare scientific notation like '5e-4'
+        try:
+            return float(v)
+        except ValueError:
+            return v
+    return v
 
 
 def apply_dotlist(cfg: Dict, overrides: Sequence[str]) -> Dict:

