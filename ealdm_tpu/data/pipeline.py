@@ -99,7 +99,16 @@ class DevicePrefetcher:
         if put_fn is None:
             import jax
 
-            put_fn = jax.device_put
+            def put_fn(batch):
+                # non-numeric leaves (file paths, labels-as-strings) stay host-side
+                return jax.tree_util.tree_map(
+                    lambda x: x
+                    if getattr(np.asarray(x), "dtype", None) is not None
+                    and np.asarray(x).dtype.kind in "USO"
+                    else jax.device_put(x),
+                    batch,
+                )
+
         self.put_fn = put_fn
 
     def __len__(self):

@@ -92,7 +92,17 @@ def parse_response_jsonl(path: str) -> List[Tuple[str, List[str]]]:
 
 
 def _load_image(path: str, image_size: int) -> np.ndarray:
-    """Load .npy / image file -> [H,W,3] float32 in [-1,1] at image_size."""
+    """Load .npy / image file -> [H,W,3] float32 in [-1,1] at image_size.
+
+    Fast path: the native C++ loader (data/native_loader.py) handles the
+    decode+resize+normalize in one call; Python/PIL fallback below.
+    """
+    if path.endswith(".npy"):
+        from . import native_loader
+
+        fast = native_loader.load_image(path, image_size)
+        if fast is not None:
+            return fast
     if path.endswith(".npy"):
         arr = np.load(path, allow_pickle=True)
     else:

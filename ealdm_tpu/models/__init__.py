@@ -1,7 +1,17 @@
 """Model definitions: UNet denoiser, first-stage autoencoders, diffusion
 cores, STDiff conditioning tower, conditioning encoders."""
 
-from .ddpm import DDPM, DiffusionWrapper, LatentDiffusion, build_first_stage, build_unet
+from .classifier import NoisyLatentImageClassifier
+from .ddpm import (
+    DDPM,
+    DiffusionWrapper,
+    LatentDiffusion,
+    Layout2ImgDiffusion,
+    build_first_stage,
+    build_unet,
+)
+from .resnet import ResNet50
+from .unet import AttentionPool2d, EncoderUNetModel
 from .distributions import DiagonalGaussian, normal_kl
 from .quantize import VectorQuantizer
 from .stdiff import AdaIN, CondScale, ConditioningTransform, EnvLSTM, EqualizedDense, UnetCond
@@ -19,6 +29,11 @@ __all__ = [
     "DDPM",
     "DiffusionWrapper",
     "LatentDiffusion",
+    "Layout2ImgDiffusion",
+    "NoisyLatentImageClassifier",
+    "ResNet50",
+    "AttentionPool2d",
+    "EncoderUNetModel",
     "build_first_stage",
     "build_unet",
     "DiagonalGaussian",

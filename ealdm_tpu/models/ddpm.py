@@ -378,3 +378,15 @@ class DDPM(LatentDiffusion):
     first_stage_config: Optional[Dict[str, Any]] = None
     cond_stage_config: Any = "__is_unconditional__"
     unconditional_guidance_scale: float = 1.0
+
+
+class Layout2ImgDiffusion(LatentDiffusion):
+    """bbox-layout-conditioned LDM (reference ddpm.py:1472-1493 capability).
+
+    The layout arrives as tokenized bbox sequences under `cond_stage_key`
+    and is encoded by the configured cond encoder (BERT-style transformer);
+    unused by the EALDM configs but part of the reference surface.
+    """
+
+    cond_stage_key: str = "coordinates_bbox"
+    unconditional_guidance_scale: float = 1.0

@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..ops.embeddings import timestep_embedding
@@ -197,3 +198,130 @@ class UNetModel(nn.Module):
         h = GroupNorm32(name="out_norm")(h, act=silu)
         h = conv3x3(self.out_channels, name="out_conv", dtype=self.dtype, zero_init=True)(h)
         return h.astype(jnp.float32)
+
+
+class AttentionPool2d(nn.Module):
+    """CLIP-style attention pooling (reference openaimodel.py:32-59)."""
+
+    spacial_dim: int
+    embed_dim: int
+    num_heads_channels: int
+    output_dim: Optional[int] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.attention import sdpa
+
+        b, h, w, c = x.shape
+        n = h * w
+        tokens = x.reshape(b, n, c)
+        tokens = jnp.concatenate(
+            [jnp.mean(tokens, axis=1, keepdims=True), tokens], axis=1
+        )
+        pos = self.param(
+            "positional_embedding",
+            lambda rng: jax.random.normal(rng, (self.spacial_dim**2 + 1, c))
+            / c**0.5,
+        )
+        tokens = tokens + pos[None, : tokens.shape[1]]
+        qkv = nn.Dense(3 * c, name="qkv_proj", dtype=self.dtype)(tokens)
+        heads = c // self.num_heads_channels
+        q, k, v = jnp.split(
+            qkv.reshape(b, n + 1, heads, 3 * self.num_heads_channels), 3, axis=-1
+        )
+        out = sdpa(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)
+        )
+        out = out.transpose(0, 2, 1, 3).reshape(b, n + 1, c)
+        out = nn.Dense(self.output_dim or c, name="c_proj", dtype=self.dtype)(out)
+        return out[:, 0]
+
+
+class EncoderUNetModel(nn.Module):
+    """Half-UNet classifier trunk (reference openaimodel.py:745-961):
+    UNet down path + middle, then adaptive / attention / spatial pooling."""
+
+    image_size: int
+    in_channels: int
+    model_channels: int
+    out_channels: int
+    num_res_blocks: int
+    attention_resolutions: Sequence[int]
+    dropout: float = 0.0
+    channel_mult: Sequence[int] = (1, 2, 4, 8)
+    conv_resample: bool = True
+    num_heads: int = 1
+    num_head_channels: int = -1
+    use_scale_shift_norm: bool = False
+    resblock_updown: bool = False
+    pool: str = "adaptive"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, timesteps, *, deterministic=True):
+        time_embed_dim = self.model_channels * 4
+        t_emb = timestep_embedding(timesteps, self.model_channels, dtype=jnp.float32)
+        emb = nn.Dense(time_embed_dim, name="time_embed_0", dtype=self.dtype)(t_emb)
+        emb = nn.Dense(time_embed_dim, name="time_embed_2", dtype=self.dtype)(silu(emb))
+
+        def res(ch_out, name, down=False):
+            return ResBlock(
+                out_channels=ch_out, dropout=self.dropout,
+                use_scale_shift_norm=self.use_scale_shift_norm, down=down,
+                name=name, dtype=self.dtype,
+            )
+
+        h = conv3x3(self.model_channels, name="conv_in", dtype=self.dtype)(
+            x.astype(self.dtype)
+        )
+        ch = self.model_channels
+        ds = 1
+        spatial_feats = []
+        for level, mult in enumerate(self.channel_mult):
+            for i in range(self.num_res_blocks):
+                ch = mult * self.model_channels
+                h = res(ch, f"down_{level}_{i}_res")(h, emb, deterministic=deterministic)
+                if ds in self.attention_resolutions:
+                    heads, _ = _head_config(
+                        ch, self.num_heads, self.num_head_channels, False, False
+                    )
+                    h = AttentionBlock(num_heads=heads, name=f"down_{level}_{i}_attn",
+                                       dtype=self.dtype)(h)
+            if level != len(self.channel_mult) - 1:
+                if self.resblock_updown:
+                    h = res(ch, f"down_{level}_downres", down=True)(
+                        h, emb, deterministic=deterministic
+                    )
+                else:
+                    h = Downsample(out_channels=ch, use_conv=self.conv_resample,
+                                   name=f"down_{level}_down", dtype=self.dtype)(h)
+                ds *= 2
+            if self.pool.startswith("spatial"):
+                spatial_feats.append(jnp.mean(h, axis=(1, 2)))
+
+        h = res(ch, "mid_res1")(h, emb, deterministic=deterministic)
+        heads, _ = _head_config(ch, self.num_heads, self.num_head_channels, False, False)
+        h = AttentionBlock(num_heads=heads, name="mid_attn", dtype=self.dtype)(h)
+        h = res(ch, "mid_res2")(h, emb, deterministic=deterministic)
+
+        if self.pool == "adaptive":
+            h = GroupNorm32(name="out_norm")(h, act=silu)
+            h = jnp.mean(h, axis=(1, 2))
+            return nn.Dense(self.out_channels, name="out", dtype=self.dtype)(h)
+        if self.pool == "attention":
+            h = GroupNorm32(name="out_norm")(h, act=silu)
+            return AttentionPool2d(
+                self.image_size // ds, ch, self.num_head_channels,
+                self.out_channels, name="out_pool", dtype=self.dtype,
+            )(h)
+        if self.pool.startswith("spatial"):
+            spatial_feats.append(jnp.mean(h, axis=(1, 2)))
+            feats = jnp.concatenate(spatial_feats, axis=-1)
+            h = nn.Dense(2048, name="out_0", dtype=self.dtype)(feats)
+            if self.pool == "spatial_v2":
+                h = GroupNorm32(name="out_norm")(h[:, None, None, :], act=silu)[:, 0, 0]
+            else:
+                h = nn.relu(h)
+            return nn.Dense(self.out_channels, name="out_1", dtype=self.dtype)(h)
+        raise NotImplementedError(self.pool)

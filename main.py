@@ -118,6 +118,10 @@ def main():
 
     # ---------------------------------------------------------------- model
     dtype = jnp.bfloat16 if opt.dtype == "bfloat16" else jnp.float32
+    target = config["model"].get("target", "")
+    if target.endswith(("AutoencoderKL", "VQModel", "VQModelInterface")):
+        # first-stage autoencoder training (two-optimizer GAN path)
+        return train_autoencoder(opt, config, logdir, now)
     model, base_lr = model_from_config(config["model"], dtype=dtype)
     model_params_cfg = config["model"].get("params", {})
 
@@ -288,6 +292,133 @@ def main():
             model, {"params": jax.device_get(state.params)}
         ).run(logdir, scaler_dir=train_ds_params.get("path"))
     return logdir, model, state
+
+
+def train_autoencoder(opt, config, logdir, now):
+    """First-stage VAE-GAN training (AutoencoderKL / VQModel configs).
+
+    Parity with the reference's Lightning two-optimizer protocol
+    (`autoencoder.py:142-162,330-372`); both optimizer updates run fused in
+    one jitted step (training/vae_trainer.py).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ealdm_tpu.config import instantiate_from_config
+    from ealdm_tpu.data import DataModule, DevicePrefetcher
+    from ealdm_tpu.models.ddpm import build_first_stage
+    from ealdm_tpu.training import (
+        init_vae_train_state,
+        make_vae_eval_step,
+        make_vae_train_step,
+    )
+    from ealdm_tpu.training.callbacks import (
+        DeviceStatsCallback,
+        MetricLogger,
+        SetupCallback,
+        save_png,
+        to_uint8_grid,
+    )
+    from ealdm_tpu.training.checkpoint import CheckpointManager
+    from ealdm_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+    mp = config["model"]["params"]
+    base_lr = config["model"].get("base_learning_rate", 4.5e-6)
+
+    vae = build_first_stage(config["model"])
+    loss_module = instantiate_from_config(mp["lossconfig"])
+    assert loss_module is not None, "autoencoder training requires a lossconfig"
+
+    data_cfg = dict(config["data"]["params"])
+    batch_size = data_cfg.pop("batch_size")
+    dataset_cfgs = {
+        k: data_cfg.pop(k)
+        for k in ("train", "validation", "test", "predict")
+        if k in data_cfg
+    }
+    data = DataModule(
+        batch_size=batch_size, dataset_configs=dataset_cfgs,
+        wrap=data_cfg.get("wrap", False), seed=opt.seed,
+    )
+    n_dev = opt.devices or len(jax.devices())
+    lr = (
+        opt.accumulate_grad_batches * n_dev * batch_size * base_lr
+        if opt.scale_lr
+        else base_lr
+    )
+    print(f"Autoencoder learning rate: {lr:.2e}")
+
+    SetupCallback(logdir, config, name="project").on_start(now)
+    metric_logger = MetricLogger(logdir)
+    device_stats = DeviceStatsCallback()
+    monitor = mp.get("monitor", "val/rec_loss")
+    ckpt_mgr = CheckpointManager(
+        os.path.join(logdir, "checkpoints"), save_top_k=3, monitor=monitor
+    )
+
+    train_loader = data.train_dataloader()
+    example = next(iter(train_loader))
+    image_key = "image" if "image" in example else "img"
+    rng = jax.random.PRNGKey(opt.seed)
+    rng, init_rng = jax.random.split(rng)
+    state, opt_ae, opt_disc = init_vae_train_state(
+        vae, loss_module, init_rng,
+        jnp.asarray(example[image_key]), learning_rate=lr,
+        lr_g_factor=mp.get("lr_g_factor", 1.0),
+    )
+    step_fn = make_vae_train_step(vae, loss_module, opt_ae, opt_disc)
+    eval_fn = make_vae_eval_step(vae, loss_module)
+
+    if not opt.train:
+        print("No -t flag: setup complete.")
+        return logdir, vae, state
+
+    step = 0
+    for epoch in range(opt.max_epochs):
+        device_stats.on_epoch_start()
+        train_loader.set_epoch(epoch)
+        for batch in DevicePrefetcher(train_loader):
+            rng, r = jax.random.split(rng)
+            state, metrics = step_fn(state, {"image": batch[image_key]}, r)
+            step += 1
+            if step % opt.log_every == 0:
+                metric_logger.log(step, jax.device_get(metrics), echo=True)
+            if opt.max_steps and step >= opt.max_steps:
+                break
+        metric_logger.log(step, device_stats.on_epoch_end(), prefix="sys/")
+
+        val_loader = data.val_dataloader()
+        if val_loader is not None:
+            vals = []
+            for vbatch in val_loader:
+                rng, vr = jax.random.split(rng)
+                vals.append(
+                    jax.device_get(eval_fn(state, {"image": vbatch[image_key]}, vr))
+                )
+            if vals:
+                agg = {k: float(np.mean([m[k] for m in vals])) for k in vals[0]}
+                metric_logger.log(step, agg, echo=True)
+                ckpt_mgr.save(step, jax.device_get(state), metrics=agg)
+                # reconstruction grid (reference VQModel/AEKL log_images)
+                x = jnp.asarray(next(iter(val_loader))[image_key])
+                rng, rr = jax.random.split(rng)
+                if hasattr(vae, "encode_prequant"):
+                    rec = vae.apply({"params": state.ae_params}, x)[0]
+                else:
+                    rec = vae.apply({"params": state.ae_params}, x, rr)[0]
+                save_png(
+                    os.path.join(logdir, "images", "val",
+                                 f"recon_gs-{step:06d}.png"),
+                    to_uint8_grid(np.asarray(rec)),
+                )
+        else:
+            ckpt_mgr.save_last(jax.device_get(state), step)
+        if opt.max_steps and step >= opt.max_steps:
+            break
+    ckpt_mgr.save_last(jax.device_get(state), step)
+    print(f"Autoencoder training done at step {step}")
+    return logdir, vae, state
 
 
 if __name__ == "__main__":

@@ -1,0 +1,106 @@
+"""Secondary components: EncoderUNet, classifier, VAE extras, util helpers."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ealdm_tpu.models import EncoderUNetModel, NoisyLatentImageClassifier, ResNet50
+from ealdm_tpu.models.vae_extras import (
+    LatentRescaler,
+    LinearAttention,
+    SimpleDecoder,
+    SpatialSelfAttention,
+    UpsampleDecoder,
+)
+from ealdm_tpu.util import count_params, ismap, isimage, log_txt_as_img, mean_flat
+
+
+@pytest.mark.parametrize("pool", ["adaptive", "attention", "spatial"])
+def test_encoder_unet_pools(pool):
+    m = EncoderUNetModel(
+        image_size=16, in_channels=3, model_channels=8, out_channels=5,
+        num_res_blocks=1, attention_resolutions=[2], channel_mult=[1, 2],
+        num_head_channels=4, pool=pool,
+    )
+    x = jnp.zeros((2, 16, 16, 3))
+    t = jnp.array([0, 5])
+    params = m.init(jax.random.PRNGKey(0), x, t)
+    out = m.apply(params, x, t)
+    assert out.shape == (2, 5)
+
+
+def test_noisy_latent_classifier():
+    m = NoisyLatentImageClassifier(
+        classifier_config=dict(
+            image_size=8, in_channels=4, model_channels=8, num_res_blocks=1,
+            attention_resolutions=[], channel_mult=[1], num_head_channels=4,
+        ),
+        num_classes=7,
+        diffusion_timesteps=50,
+    )
+    z = jnp.ones((2, 8, 8, 4)) * 0.1
+    labels = jnp.array([1, 4])
+    params = m.init(
+        {"params": jax.random.PRNGKey(0)}, z, labels, jax.random.PRNGKey(1)
+    )
+    loss, metrics = m.apply(params, z, labels, jax.random.PRNGKey(2))
+    assert np.isfinite(float(loss))
+    assert 0.0 <= float(metrics["accuracy"]) <= 1.0
+    # guidance gradient has latent shape
+    g = m.classifier_gradient(
+        params["params"], z, jnp.array([10, 20]), jnp.array([0, 1])
+    )
+    assert g.shape == z.shape
+
+
+def test_resnet50_features():
+    m = ResNet50()
+    x = jnp.zeros((1, 64, 64, 3))
+    params = m.init(jax.random.PRNGKey(0), x)
+    feats = m.apply(params, x)
+    assert feats.shape == (1, 2, 2, 2048)
+    pooled = m.apply(params, x, pool=True)
+    assert pooled.shape == (1, 2048)
+
+
+def test_vae_extras_shapes(rng):
+    x = jnp.asarray(rng.randn(1, 8, 8, 16).astype(np.float32))
+    sd = SimpleDecoder(out_channels=3)
+    p = sd.init(jax.random.PRNGKey(0), x)
+    assert sd.apply(p, x).shape == (1, 16, 16, 3)
+
+    ud = UpsampleDecoder(out_channels=3, ch=8, num_res_blocks=1, ch_mult=(2, 2))
+    p = ud.init(jax.random.PRNGKey(0), x)
+    assert ud.apply(p, x).shape == (1, 16, 16, 3)
+
+    lr = LatentRescaler(factor=2.0, mid_channels=16, out_channels=4)
+    p = lr.init(jax.random.PRNGKey(0), x)
+    assert lr.apply(p, x).shape == (1, 16, 16, 4)
+
+    la = LinearAttention()
+    p = la.init(jax.random.PRNGKey(0), x)
+    assert la.apply(p, x).shape == x.shape
+
+    ssa = SpatialSelfAttention()
+    p = ssa.init(jax.random.PRNGKey(0), x)
+    assert ssa.apply(p, x).shape == x.shape
+
+
+def test_util_helpers():
+    imgs = log_txt_as_img((64, 64), ["hello world", "a river"])
+    assert imgs.shape == (2, 64, 64, 3)
+    assert ismap(np.zeros((1, 4, 4, 8))) and not ismap(np.zeros((1, 4, 4, 3)))
+    assert isimage(np.zeros((1, 4, 4, 3))) and not isimage(np.zeros((1, 4, 4, 5)))
+    assert float(mean_flat(jnp.ones((2, 3, 4)))[0]) == 1.0
+    n = count_params({"a": np.zeros((2, 3)), "b": {"c": np.zeros((4,))}})
+    assert n == 10
+
+
+def test_parallel_data_prefetch():
+    from ealdm_tpu.util import parallel_data_prefetch
+
+    out = parallel_data_prefetch(lambda x: x * 2, list(range(10)), n_proc=3,
+                                 target_data_type="list")
+    assert out == [x * 2 for x in range(10)]
+    arr = parallel_data_prefetch(lambda x: x + 1, np.arange(5), n_proc=2)
+    np.testing.assert_array_equal(arr, np.arange(5) + 1)
