@@ -29,8 +29,11 @@ def main(batch_size: int = 8, steps: int = 50, tiny: bool = False):
     import numpy as np
 
     from ealdm_tpu.models.ddpm import LatentDiffusion
+    from ealdm_tpu.ops.norms import set_norm_stats_precision
     from ealdm_tpu.ops.schedules import DDIMSchedule, DiffusionSchedule
     from ealdm_tpu.samplers import DDIMConfig, ddim_sample
+
+    set_norm_stats_precision("native")  # inference-mode norm stats (bf16)
 
     if tiny:
         res, zres, ch, nembed = 64, 8, 32, 64
@@ -139,17 +142,24 @@ def main(batch_size: int = 8, steps: int = 50, tiny: bool = False):
         return model.apply(variables, z, method=model.decode_first_stage)
 
     fn = jax.jit(sample_program)
+
+    def sync(x):
+        # block_until_ready does not actually block on the axon relay;
+        # force a scalar readback (device queue is FIFO, so this fences
+        # every previously enqueued program too).
+        return float(jnp.sum(x[0, 0, 0]))
+
     # compile + warmup
     t0 = time.perf_counter()
     out = fn(variables, batch["mixed"], jax.random.PRNGKey(1))
-    out.block_until_ready()
+    sync(out)
     compile_s = time.perf_counter() - t0
 
     iters = 3
     t0 = time.perf_counter()
     for i in range(iters):
         out = fn(variables, batch["mixed"], jax.random.PRNGKey(2 + i))
-    out.block_until_ready()
+    sync(out)
     dt = (time.perf_counter() - t0) / iters
     img_per_s = b / dt
 

@@ -98,6 +98,18 @@ def main():
     eps_fn = make_eps_fn(model, variables)
     shape = (b, zres, zres, zch)
 
+    # conditional models still need a context for the denoiser: use the
+    # neutral (zeros-mixed, env-fusion-off) conditioning, CFG disabled —
+    # the unconditional-benchmark analogue for the EALDM model family.
+    cond_ctx = None
+    if model.conditioning_key is not None and "mixed" in batch:
+        cond_ctx = model.apply(
+            variables, batch["mixed"], False,
+            method=model.get_learned_conditioning,
+        )
+        _inner_eps = eps_fn
+        eps_fn = lambda x, t, ctx: _inner_eps(x, t, cond_ctx)
+
     if opt.vanilla_sample:
         def sample_fn(rng):
             z = ancestral_sample(eps_fn, rng, shape, sched)
