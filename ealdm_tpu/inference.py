@@ -102,6 +102,7 @@ def log_images(
     sample: bool = True,
     quantize_denoised: bool = True,
     inpaint: bool = False,
+    plot_progressive_rows: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Reference log_images bundle as a dict of NHWC image tensors."""
     out: Dict[str, jnp.ndarray] = {}
@@ -123,6 +124,24 @@ def log_images(
     if model.cond_stage_key == "mixed" and "mixed" in batch:
         mixed = {k: v[:n] for k, v in batch["mixed"].items()}
         out["conditioning"] = mixed["img"]
+
+    # diffusion row: q_sample of the first rows at increasing t
+    # (reference log_images `diffusion_row`)
+    n_row = min(n, 4)
+    ts = jnp.linspace(0, model.timesteps - 1, 6).astype(jnp.int32)
+    noise = jax.random.normal(jax.random.fold_in(rng, 7), z[:n_row].shape)
+    diff_rows = [
+        model.apply(
+            variables,
+            model.apply(
+                variables, z[:n_row], jnp.full((n_row,), int(t), jnp.int32), noise,
+                method=model.q_sample,
+            ),
+            method=model.decode_first_stage,
+        )
+        for t in ts
+    ]
+    out["diffusion_row"] = jnp.concatenate(diff_rows, axis=2)  # widthwise strip
 
     if sample:
         imgs, zs = sample_images(
@@ -151,4 +170,35 @@ def log_images(
                 mixed=mixed, mask=1.0 - mask, x0=z,
             )
             out["samples_outpainting"] = imgs_outp
+        if plot_progressive_rows:
+            # progressive denoising strip: decoded pred_x0 at 6 spaced steps
+            sched = DiffusionSchedule.create(
+                timesteps=model.timesteps, beta_schedule=model.beta_schedule,
+                linear_start=model.linear_start, linear_end=model.linear_end,
+            )
+            ddim = DDIMSchedule.create(sched, steps, eta=eta)
+            cond = uncond = None
+            if mixed is not None:
+                uncond, cond = encode_cfg_conditioning(model, variables, mixed)
+            _, (x_inter, pred_x0s) = ddim_sample(
+                make_eps_fn(model, variables),
+                jax.random.fold_in(rng, 9),
+                (min(n, 4),) + tuple(latent_shape),
+                ddim,
+                DDIMConfig(
+                    num_steps=steps, eta=eta,
+                    unconditional_guidance_scale=model.unconditional_guidance_scale,
+                ),
+                cond=cond[: min(n, 4)] if cond is not None else None,
+                uncond=uncond[: min(n, 4)] if uncond is not None else None,
+                return_intermediates=True,
+            )
+            picks = jnp.linspace(0, steps - 1, 6).astype(jnp.int32)
+            strips = [
+                model.apply(
+                    variables, pred_x0s[int(i)], method=model.decode_first_stage
+                )
+                for i in picks
+            ]
+            out["progressive_row"] = jnp.concatenate(strips, axis=2)
     return out

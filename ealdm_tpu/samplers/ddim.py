@@ -79,8 +79,10 @@ def ddim_sample(
     schedule: Optional[DiffusionSchedule] = None,
     quantize_fn=None,
     return_pred_x0: bool = False,
+    return_intermediates: bool = False,
 ):
-    """Run the full DDIM chain. Returns final x (and optionally last pred_x0).
+    """Run the full DDIM chain. Returns final x (and optionally last pred_x0,
+    or all per-step (x_inter, pred_x0) stacks when return_intermediates).
 
     mask/x0: inpainting — at each step the known region is re-noised from x0
     and composited (mask==1 keeps the known region, as in the reference).
@@ -121,9 +123,12 @@ def ddim_sample(
         x_prev, pred_x0 = ddim_step(
             x, e_t, a_t, a_prev, sigma_t, noise, cfg, quantize_fn
         )
-        return (x_prev, pred_x0), None
+        ys = (x_prev, pred_x0) if return_intermediates else None
+        return (x_prev, pred_x0), ys
 
-    (x, pred_x0), _ = jax.lax.scan(body, (x, x), tables)
+    (x, pred_x0), ys = jax.lax.scan(body, (x, x), tables)
+    if return_intermediates:
+        return x, ys  # ([S, B, ...] x_inter, [S, B, ...] pred_x0)
     if return_pred_x0:
         return x, pred_x0
     return x

@@ -187,6 +187,28 @@ def main():
     if "scheduler_config" in model_params_cfg:
         schedule_fn = build_scheduler(model_params_cfg["scheduler_config"])
 
+    # scale_by_std: set scale_factor = 1/std(z) from the first batch
+    # (reference on_train_batch_start, ddpm.py:483-496). Module attrs are
+    # static, so rebuild the model with the measured factor before init.
+    if model_params_cfg.get("scale_by_std") and not opt.resume:
+        assert model.scale_factor == 1.0, (
+            "rather not use custom rescaling and std-rescaling simultaneously"
+        )
+        import dataclasses as _dc
+
+        tmp_vars = jax.jit(
+            lambda r: model.init(
+                {"params": r, "dropout": r}, example, r, method=model.full_init
+            )
+        )(jax.random.PRNGKey(0))
+        z = model.apply(
+            tmp_vars, jnp.asarray(example["img"]), jax.random.PRNGKey(1),
+            method=model.encode_first_stage,
+        )
+        factor = float(1.0 / jnp.std(z))
+        print(f"### USING STD-RESCALING: scale_factor={factor:.4f} ###")
+        model = _dc.replace(model, scale_factor=factor)
+
     rng, init_rng = jax.random.split(rng)
     state, optimizer = init_train_state(
         model, init_rng, example, learning_rate=lr,

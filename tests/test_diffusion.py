@@ -80,7 +80,7 @@ def stdiff_model():
     batch = _mixed_batch()
     params = model.init(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
-        batch, jax.random.PRNGKey(2), train=False,
+        batch, jax.random.PRNGKey(2), method=model.full_init,
     )["params"]
     return model, {"params": params}, batch
 
