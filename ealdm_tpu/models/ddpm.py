@@ -134,6 +134,7 @@ class LatentDiffusion(nn.Module):
     conditioning_key: Optional[str] = None
     cond_stage_key: str = "image"
     cond_stage_trainable: bool = False
+    num_timesteps_cond: int = 1
     scale_factor: float = 1.0
     unconditional_guidance_scale: float = 2.0  # training-time CFG (ddpm.py:442)
     learn_logvar: bool = False
@@ -175,6 +176,17 @@ class LatentDiffusion(nn.Module):
             )
         else:
             self.logvar = jnp.full((self.timesteps,), self.logvar_init, jnp.float32)
+        # shortened conditioning-noise schedule (reference make_cond_schedule,
+        # ddpm.py:479-481; active only when num_timesteps_cond > 1)
+        assert self.num_timesteps_cond <= self.timesteps
+        cond_ids = jnp.full((self.timesteps,), self.timesteps - 1, jnp.int32)
+        if self.num_timesteps_cond > 1:
+            ids = jnp.round(
+                jnp.linspace(0, self.timesteps - 1, self.num_timesteps_cond)
+            ).astype(jnp.int32)
+            cond_ids = cond_ids.at[: self.num_timesteps_cond].set(ids)
+        self.cond_ids = cond_ids
+        self.shorten_cond_schedule = self.num_timesteps_cond > 1
 
     # ------------------------------------------------------------- first stage
     def encode_first_stage(self, x, rng=None, sample_posterior: bool = True):
@@ -355,6 +367,19 @@ class LatentDiffusion(nn.Module):
             cond_context = self.get_learned_conditioning(
                 batch[self.cond_stage_key], deterministic=not train
             )
+
+        if (
+            self.shorten_cond_schedule
+            and cond_context is not None
+            and jnp.issubdtype(jnp.asarray(cond_context).dtype, jnp.floating)
+        ):
+            # noise the conditioning at the shortened schedule's timestep
+            tc = jnp.take(self.cond_ids, t)
+            c_noise = jax.random.normal(rngs[3], cond_context.shape)
+            tc_full = (
+                jnp.concatenate([tc, tc]) if cond_context.shape[0] == 2 * t.shape[0] else tc
+            )
+            cond_context = self.q_sample(cond_context, tc_full, c_noise)
 
         return self.p_losses(z, cond_context, t, noise, deterministic=not train)
 

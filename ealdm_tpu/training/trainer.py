@@ -68,6 +68,7 @@ def make_optimizer(
     weight_decay: float = 1e-2,
     b1: float = 0.9,
     b2: float = 0.999,
+    accumulate_grad_batches: int = 1,
 ) -> optax.GradientTransformation:
     if schedule_fn is not None:
         lr = lambda step: learning_rate * schedule_fn(step)
@@ -75,9 +76,13 @@ def make_optimizer(
         lr = learning_rate
     adamw = optax.adamw(lr, b1=b1, b2=b2, weight_decay=weight_decay)
     labels = _trainable_mask(params, frozen_prefixes)
-    return optax.multi_transform(
+    opt = optax.multi_transform(
         {"train": adamw, "frozen": optax.set_to_zero()}, labels
     )
+    if accumulate_grad_batches > 1:
+        # Lightning accumulate_grad_batches semantics: apply every k steps
+        opt = optax.MultiSteps(opt, every_k_schedule=accumulate_grad_batches)
+    return opt
 
 
 def init_train_state(

@@ -214,8 +214,11 @@ def main():
         model, init_rng, example, learning_rate=lr,
         use_ema=model_params_cfg.get("use_ema", True),
     )
-    if schedule_fn is not None:
-        optimizer = make_optimizer(lr, state.params, schedule_fn=schedule_fn)
+    if schedule_fn is not None or opt.accumulate_grad_batches > 1:
+        optimizer = make_optimizer(
+            lr, state.params, schedule_fn=schedule_fn,
+            accumulate_grad_batches=opt.accumulate_grad_batches,
+        )
         state.opt_state = optimizer.init(state.params)
     if resume_ckpt_dir is not None:
         mgr = CheckpointManager(resume_ckpt_dir, monitor=monitor)

@@ -41,6 +41,8 @@ def main():
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("-r", "--resume", type=str, default="",
                    help="trained run dir (optional)")
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny model/resolution (smoke testing)")
     opt = p.parse_args()
 
     import jax
@@ -55,22 +57,37 @@ def main():
     os.makedirs(opt.outdir, exist_ok=True)
 
     # latent-inpainting model (vq-f4-style first stage, uncond UNet)
-    model = LatentDiffusion(
-        unet_config=dict(
+    if opt.tiny:
+        size = 32
+        unet = dict(
+            image_size=16, in_channels=3, out_channels=3, model_channels=16,
+            attention_resolutions=[4], num_res_blocks=1, channel_mult=[1, 2],
+            num_heads=2,
+        )
+        ddconfig = dict(
+            double_z=False, z_channels=3, resolution=32, in_channels=3,
+            out_ch=3, ch=16, ch_mult=[1, 2], num_res_blocks=1,
+            attn_resolutions=[], dropout=0.0,
+        )
+        n_embed = 64
+    else:
+        size = 256
+        unet = dict(
             image_size=64, in_channels=3, out_channels=3, model_channels=128,
             attention_resolutions=[8, 4, 2], num_res_blocks=2,
             channel_mult=[1, 2, 3, 4], num_heads=8,
-        ),
+        )
+        ddconfig = dict(
+            double_z=False, z_channels=3, resolution=256, in_channels=3,
+            out_ch=3, ch=128, ch_mult=[1, 2, 4], num_res_blocks=2,
+            attn_resolutions=[], dropout=0.0,
+        )
+        n_embed = 8192
+    model = LatentDiffusion(
+        unet_config=unet,
         first_stage_config={
             "target": "ldm.models.autoencoder.VQModelInterface",
-            "params": {
-                "embed_dim": 3, "n_embed": 8192,
-                "ddconfig": dict(
-                    double_z=False, z_channels=3, resolution=256, in_channels=3,
-                    out_ch=3, ch=128, ch_mult=[1, 2, 4], num_res_blocks=2,
-                    attn_resolutions=[], dropout=0.0,
-                ),
-            },
+            "params": {"embed_dim": 3, "n_embed": n_embed, "ddconfig": ddconfig},
         },
         cond_stage_config="__is_unconditional__",
         timesteps=1000,
@@ -78,7 +95,7 @@ def main():
         linear_end=0.0205,
     )
     rng = jax.random.PRNGKey(0)
-    example = make_batch(images[0], masks[0]) if images else None
+    example = make_batch(images[0], masks[0], size=size) if images else None
     batch0 = {"img": jnp.asarray(example["image"])}
     variables = jax.jit(
         lambda r: model.init({"params": r, "dropout": r}, batch0, r,
@@ -97,7 +114,7 @@ def main():
     from PIL import Image
 
     for image_path, mask_path in zip(images, masks):
-        batch = make_batch(image_path, mask_path)
+        batch = make_batch(image_path, mask_path, size=size)
         x = jnp.asarray(batch["image"])
         mask_px = jnp.asarray(batch["mask"])  # 1 = hole
         rng, r1, r2 = jax.random.split(rng, 3)

@@ -94,16 +94,21 @@ def main():
     model, _ = model_from_config(config["model"])
 
     mp = config["model"]["params"]
-    zres = opt.H // 8
+    zres = mp["unet_config"]["params"].get("image_size", opt.H // 8)
     zch = mp["unet_config"]["params"]["in_channels"]
     n = opt.n_samples
 
-    tokenizer = SimpleTokenizer()
+    csc = mp.get("cond_stage_config", {}).get("params", {})
+    tokenizer = SimpleTokenizer(
+        vocab_size=csc.get("vocab_size", 30522),
+        max_len=csc.get("max_seq_len", 77),
+    )
     tokens_c = tokenizer([opt.prompt] * n)
     tokens_uc = tokenizer([""] * n)
 
     rng = jax.random.PRNGKey(0)
-    batch = {"img": jnp.zeros((n, opt.H, opt.W, 3)), "caption": tokens_c}
+    res = mp["first_stage_config"]["params"]["ddconfig"]["resolution"]
+    batch = {"img": jnp.zeros((n, res, res, 3)), "caption": tokens_c}
     variables = jax.jit(
         lambda r: model.init(
             {"params": r, "dropout": r}, batch, r, method=model.full_init
