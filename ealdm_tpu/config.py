@@ -84,6 +84,8 @@ _REGISTRY = {
     "ldm.modules.encoders.modules.BERTEmbedder": "ealdm_tpu.models.encoders:BERTEmbedder",
     "ldm.modules.encoders.modules.TransformerEmbedder": "ealdm_tpu.models.encoders:TransformerEmbedder",
     "ldm.modules.encoders.modules.SpatialRescaler": "ealdm_tpu.models.encoders:SpatialRescaler",
+    "ldm.modules.encoders.modules.FrozenCLIPTextEmbedder": "ealdm_tpu.models.encoders:FrozenCLIPTextEmbedder",
+    "ldm.modules.encoders.modules.FrozenClipImageEmbedder": "ealdm_tpu.models.encoders:FrozenClipImageEmbedder",
     # schedulers
     "ldm.lr_scheduler.LambdaLinearScheduler": "ealdm_tpu.training.lr_scheduler:build_scheduler",
     "ldm.lr_scheduler.LambdaWarmUpCosineScheduler": "ealdm_tpu.training.lr_scheduler:build_scheduler",

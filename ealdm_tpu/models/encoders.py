@@ -108,6 +108,64 @@ class SpatialRescaler(nn.Module):
         return x
 
 
+class FrozenCLIPTextEmbedder(nn.Module):
+    """CLIP-style text embedder (reference encoders/modules.py:138-170):
+    tokenized text -> pooled, L2-normalized embedding, optionally repeated
+    to n_repeat context tokens. Architecture-complete with a weight-import
+    hook (pretrained CLIP weights are not downloadable here)."""
+
+    n_embed: int = 512
+    n_layer: int = 12
+    vocab_size: int = 49408
+    max_seq_len: int = 77
+    n_repeat: int = 1
+    normalize: bool = True
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.transformer = TextTransformer(
+            vocab_size=self.vocab_size, max_len=self.max_seq_len,
+            dim=self.n_embed, depth=self.n_layer, dtype=self.dtype,
+        )
+        self._tokenizer = SimpleTokenizer(self.vocab_size, self.max_seq_len)
+
+    def tokenize(self, texts):
+        return self._tokenizer(texts)
+
+    def __call__(self, tokens, *, deterministic: bool = True):
+        h = self.transformer(tokens, deterministic=deterministic)
+        z = jnp.mean(h, axis=1)
+        if self.normalize:
+            z = z / (jnp.linalg.norm(z, axis=-1, keepdims=True) + 1e-8)
+        return jnp.repeat(z[:, None, :], self.n_repeat, axis=1)
+
+
+class FrozenClipImageEmbedder(nn.Module):
+    """CLIP-style image embedder (reference encoders/modules.py:173-202):
+    [-1,1] NHWC image -> preprocess (resize + CLIP channel stats) -> pooled
+    embedding from the in-repo trunk; weight-import hook for real CLIP."""
+
+    out_dim: int = 512
+    image_size: int = 224
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        import jax
+
+        from .resnet import ResNet50
+
+        mean = jnp.asarray([0.48145466, 0.4578275, 0.40821073])
+        std = jnp.asarray([0.26862954, 0.26130258, 0.27577711])
+        n, h, w, c = x.shape
+        x = (x + 1.0) / 2.0
+        x = jax.image.resize(x, (n, self.image_size, self.image_size, c), "bilinear")
+        x = (x - mean) / std
+        feats = ResNet50(name="visual", dtype=self.dtype)(x, pool=True)
+        z = nn.Dense(self.out_dim, name="proj", dtype=self.dtype)(feats)
+        return z / (jnp.linalg.norm(z, axis=-1, keepdims=True) + 1e-8)
+
+
 def build_encoder(target: str, params: Dict[str, Any], dtype=jnp.float32):
     """Registry for reference cond-encoder targets -> TPU-native modules."""
     name = target.rsplit(".", 1)[-1]
@@ -133,4 +191,13 @@ def build_encoder(target: str, params: Dict[str, Any], dtype=jnp.float32):
         )
     if name == "SpatialRescaler":
         return SpatialRescaler(**params, dtype=dtype)
+    if name == "FrozenCLIPTextEmbedder":
+        kw = {}
+        if "n_repeat" in params:
+            kw["n_repeat"] = params["n_repeat"]
+        if "normalize" in params:
+            kw["normalize"] = params["normalize"]
+        return FrozenCLIPTextEmbedder(dtype=dtype, **kw)
+    if name == "FrozenClipImageEmbedder":
+        return FrozenClipImageEmbedder(dtype=dtype)
     raise ValueError(f"unknown cond stage target: {target}")

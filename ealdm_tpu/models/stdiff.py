@@ -260,6 +260,25 @@ class EnvLSTM(nn.Module):
         return nn.Dense(self.output_size, name="fc_2", dtype=self.dtype)(h)
 
 
+class ConvBlock(nn.Module):
+    """conv-norm-relu x2 + stride-2 transform (reference ConvBlock,
+    STDiff/models.py:380-396; GroupNorm for the SPMD-hostile BatchNorm)."""
+
+    out_ch: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.out_ch, (3, 3), padding=1, name="conv1", dtype=self.dtype)(x)
+        x = nn.relu(nn.GroupNorm(num_groups=_norm_groups(self.out_ch), name="norm1")(x))
+        x = nn.Conv(self.out_ch, (3, 3), padding=1, name="conv2", dtype=self.dtype)(x)
+        x = nn.relu(nn.GroupNorm(num_groups=_norm_groups(self.out_ch), name="norm2")(x))
+        return nn.Conv(
+            self.out_ch, (4, 4), strides=(2, 2), padding=1, name="transform",
+            dtype=self.dtype,
+        )(x)
+
+
 class AdaIN(nn.Module):
     """InstanceNorm + style-conditioned (1+gamma)*x + beta."""
 

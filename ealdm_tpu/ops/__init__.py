@@ -18,6 +18,7 @@ from .upfirdn2d import (
     upsample2d,
 )
 from .filtered_lrelu import filtered_lrelu
+from .resample import conv2d_resample, grid_sample
 from .norms import group_norm, instance_norm_2d, layer_norm, silu
 from .attention import flash_attention, sdpa
 
@@ -39,6 +40,8 @@ __all__ = [
     "downsample2d",
     "setup_filter",
     "filtered_lrelu",
+    "conv2d_resample",
+    "grid_sample",
     "group_norm",
     "instance_norm_2d",
     "layer_norm",

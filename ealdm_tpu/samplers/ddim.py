@@ -30,6 +30,7 @@ class DDIMConfig(NamedTuple):
     parameterization: str = "eps"
     clip_denoised: bool = False
     quantize_x0: bool = False
+    unroll: int = 1  # lax.scan unroll factor (scheduling experiment knob)
 
 
 def _guided_eps(
@@ -126,7 +127,7 @@ def ddim_sample(
         ys = (x_prev, pred_x0) if return_intermediates else None
         return (x_prev, pred_x0), ys
 
-    (x, pred_x0), ys = jax.lax.scan(body, (x, x), tables)
+    (x, pred_x0), ys = jax.lax.scan(body, (x, x), tables, unroll=cfg.unroll)
     if return_intermediates:
         return x, ys  # ([S, B, ...] x_inter, [S, B, ...] pred_x0)
     if return_pred_x0:
