@@ -121,10 +121,19 @@ class ImageSRDataset(ImageFolderDataset):
                 Image.fromarray(arr).resize(
                     (self.size // self.sf, self.size // self.sf), Image.NEAREST
                 )
+            ).astype(np.float32) / 255.0
+        elif self.degradation in ("bsrgan", "bsrgan_light"):
+            from .degradation import degradation_fn_bsr, degradation_fn_bsr_light
+
+            fn = (
+                degradation_fn_bsr_light
+                if self.degradation.endswith("light")
+                else degradation_fn_bsr
             )
+            lr, _ = fn(arr.astype(np.float32) / 255.0, sf=self.sf, rng=self._rng)
         else:
-            lr = degrade_sr_light(arr, self.sf, self._rng)
+            lr = degrade_sr_light(arr, self.sf, self._rng).astype(np.float32) / 255.0
         return {
             "image": arr.astype(np.float32) / 127.5 - 1.0,
-            "LR_image": lr.astype(np.float32) / 127.5 - 1.0,
+            "LR_image": lr.astype(np.float32) * 2.0 - 1.0,
         }

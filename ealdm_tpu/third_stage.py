@@ -101,6 +101,36 @@ class ThirdStageDataset(Dataset):
         return {k: v[j] for k, v in z.items()}
 
 
+class Refinement:
+    """Latent-delta refinement (reference `Refinement`, third_stage_model.py:
+    164-169): a small conv stack predicting a residual latent correction."""
+
+    def __init__(self, channels: int = 4, hidden: int = 32, seed: int = 0):
+        import flax.linen as nn
+
+        class Net(nn.Module):
+            hidden: int
+            channels: int
+
+            @nn.compact
+            def __call__(self, z):
+                h = nn.relu(nn.Conv(self.hidden, (3, 3), padding=1, name="c1")(z))
+                h = nn.relu(nn.Conv(self.hidden, (3, 3), padding=1, name="c2")(h))
+                delta = nn.Conv(
+                    self.channels, (3, 3), padding=1, name="c3",
+                    kernel_init=nn.initializers.zeros,
+                )(h)
+                return z + delta
+
+        self.net = Net(hidden=hidden, channels=channels)
+        self.params = self.net.init(
+            jax.random.PRNGKey(seed), jnp.zeros((1, 8, 8, channels))
+        )["params"]
+
+    def __call__(self, z):
+        return self.net.apply({"params": self.params}, z)
+
+
 class ThirdStageModel:
     """Feature trunk + weather/flow heads over decoded diffusion latents."""
 
@@ -263,6 +293,116 @@ class ThirdStageModel:
             w.writerow([results[k] for k in results])
         print("third-stage results:", results, flush=True)
         return results
+
+    def refine_decoder(
+        self,
+        loader: DataLoader,
+        steps: int = 100,
+        lr: float = 1e-5,
+        disc_start: int = 0,
+    ):
+        """Optional decoder fine-tune with the VQ-GAN loss on decoded latents
+        (reference `vq_loss` path, third_stage_model.py:365-391). Updates the
+        first-stage decoder subtree of self.variables in place."""
+        import optax
+
+        from .losses.contperceptual import adaptive_d_weight
+        from .losses.vqperceptual import VQLPIPSWithDiscriminator
+
+        params = jax.tree_util.tree_map(jnp.asarray, self.variables["params"])
+        dec_params = params["first_stage_model"]["decoder"]
+        loss_mod = VQLPIPSWithDiscriminator(disc_start=disc_start, disc_num_layers=1)
+
+        batch0 = next(iter(loader))
+        x0 = jnp.asarray(batch0["img"])
+        rec0 = self._decode(jnp.asarray(batch0["latent"]))
+        loss_vars = loss_mod.init(
+            {"params": jax.random.PRNGKey(0)}, jnp.zeros(()), x0, rec0, 0
+        )["params"]
+
+        opt_g = optax.adam(lr, b1=0.5, b2=0.9)
+        opt_d = optax.adam(lr, b1=0.5, b2=0.9)
+        g_state = opt_g.init(dec_params)
+        d_state = opt_d.init(loss_vars["discriminator"])
+
+        def decode_with(dec_p, latent):
+            p = dict(params)
+            fs = dict(p["first_stage_model"])
+            fs["decoder"] = dec_p
+            p["first_stage_model"] = fs
+            return self.model.apply(
+                {"params": p}, latent, method=self.model.decode_first_stage
+            )
+
+        @jax.jit
+        def step(dec_params, g_state, loss_vars, d_state, latent, real, gstep):
+            rec0 = decode_with(dec_params, latent)
+            nll_g = jax.grad(
+                lambda r: loss_mod.apply(
+                    {"params": loss_vars}, real, r, method=loss_mod.nll_loss
+                )[0]
+            )(rec0)
+            gan_g = jax.grad(
+                lambda r: loss_mod.apply(
+                    {"params": loss_vars}, r, method=loss_mod.g_loss
+                )
+            )(rec0)
+            d_weight = jax.lax.stop_gradient(
+                adaptive_d_weight(nll_g, gan_g, loss_mod.disc_weight)
+            )
+
+            def gen_loss(dp):
+                rec = decode_with(dp, latent)
+                loss, log = loss_mod.apply(
+                    {"params": loss_vars}, jnp.zeros(()), real, rec, gstep,
+                    d_weight, method=loss_mod.generator_loss,
+                )
+                return loss, (log, rec)
+
+            (gl, (glog, rec)), ggrads = jax.value_and_grad(gen_loss, has_aux=True)(
+                dec_params
+            )
+            gupd, g_state2 = opt_g.update(ggrads, g_state, dec_params)
+            dec_params2 = optax.apply_updates(dec_params, gupd)
+
+            def disc_loss(dp):
+                lv = dict(loss_vars)
+                lv["discriminator"] = dp
+                return loss_mod.apply(
+                    {"params": lv}, real, rec, gstep,
+                    method=loss_mod.discriminator_loss,
+                )[0]
+
+            dl, dgrads = jax.value_and_grad(disc_loss)(loss_vars["discriminator"])
+            dupd, d_state2 = opt_d.update(dgrads, d_state, loss_vars["discriminator"])
+            lv2 = dict(loss_vars)
+            lv2["discriminator"] = optax.apply_updates(
+                loss_vars["discriminator"], dupd
+            )
+            return dec_params2, g_state2, lv2, d_state2, gl, dl
+
+        it = 0
+        while it < steps:
+            for batch in loader:
+                if it >= steps:
+                    break
+                dec_params, g_state, loss_vars, d_state, gl, dl = step(
+                    dec_params, g_state, loss_vars, d_state,
+                    jnp.asarray(batch["latent"]), jnp.asarray(batch["img"]),
+                    jnp.asarray(it),
+                )
+                it += 1
+        new_params = dict(params)
+        fs = dict(new_params["first_stage_model"])
+        fs["decoder"] = dec_params
+        new_params["first_stage_model"] = fs
+        self.variables = {"params": new_params}
+        self._decode = jax.jit(
+            lambda z: self.model.apply(
+                self.variables, z, method=self.model.decode_first_stage
+            )
+        )
+        return float(gl), float(dl)
 
     def run(self, logdir: str, scaler_dir: Optional[str] = None, epochs: int = 1,
             batch_size: int = 4):
