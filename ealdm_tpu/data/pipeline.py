@@ -117,11 +117,14 @@ class DevicePrefetcher:
     def __iter__(self):
         q: "queue.Queue" = queue.Queue(maxsize=self.buffer_size)
         sentinel = object()
+        error: list = []
 
         def worker():
             try:
                 for batch in self.loader:
                     q.put(self.put_fn(batch))
+            except BaseException as e:  # propagate, never swallow
+                error.append(e)
             finally:
                 q.put(sentinel)
 
@@ -133,6 +136,8 @@ class DevicePrefetcher:
                 break
             yield item
         t.join()
+        if error:
+            raise error[0]
 
 
 class DataModule:

@@ -24,7 +24,9 @@ def ema_init(params: Any, decay: float = 0.9999, use_num_updates: bool = True) -
     return EmaState(
         decay=decay,
         num_updates=jnp.asarray(0 if use_num_updates else -1, jnp.int32),
-        shadow=jax.tree_util.tree_map(jnp.asarray, params),
+        # explicit copy: the shadow must NOT alias the param buffers, or a
+        # donating train step would donate the same buffer twice.
+        shadow=jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), params),
     )
 
 

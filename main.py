@@ -142,10 +142,15 @@ def main():
 
     # ----------------------------------------------------------------- mesh
     n_dev = opt.devices or len(jax.devices())
+    # the per-step batch must divide the data axis; shrink it if needed
+    while n_dev > 1 and (batch_size % (n_dev // opt.tp) != 0):
+        n_dev -= opt.tp
     mesh = create_mesh(
         MeshConfig(data=n_dev // opt.tp, model=opt.tp),
         devices=jax.devices()[:n_dev],
     )
+    if n_dev != (opt.devices or len(jax.devices())):
+        print(f"Reduced device count to {n_dev} so batch {batch_size} shards evenly")
     if opt.scale_lr:
         lr = opt.accumulate_grad_batches * n_dev * batch_size * base_lr
         print(
