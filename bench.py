@@ -33,7 +33,10 @@ def main(batch_size: int = 8, steps: int = 50, tiny: bool = False):
     from ealdm_tpu.ops.schedules import DDIMSchedule, DiffusionSchedule
     from ealdm_tpu.samplers import DDIMConfig, ddim_sample
 
+    from ealdm_tpu.ops.attention import set_attention_impl
+
     set_norm_stats_precision("native")  # inference-mode norm stats (bf16)
+    set_attention_impl("flash")         # fused Pallas attention (inference)
 
     if tiny:
         res, zres, ch, nembed = 64, 8, 32, 64

@@ -23,13 +23,14 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.attention import flash_attention, sdpa
+from ..ops.attention import attention_impl, flash_attention, sdpa
 from ..ops.norms import group_norm, silu
 
 Dtype = jnp.dtype
 
-# Token count at/above which the Pallas flash kernel beats the dense einsum.
-FLASH_MIN_TOKENS = 4096
+# Token count at/above which the fused Pallas kernel is used when the
+# global attention impl is "flash" (set_attention_impl; inference-only).
+FLASH_MIN_TOKENS = 256
 
 
 def conv3x3(features, name=None, dtype=jnp.float32, zero_init=False):
@@ -170,10 +171,13 @@ class ResBlock(nn.Module):
 
 
 def _attend(q, k, v):
-    """[B, H, N, D] attention; picks flash kernel for long sequences on TPU."""
+    """[B, H, N, D] attention. The fused Pallas kernel is used only when
+    the global impl is "flash" (inference mode — no VJP), on TPU, for
+    block-aligned self-attention-sized sequences."""
     n = q.shape[2]
     if (
-        n >= FLASH_MIN_TOKENS
+        attention_impl() == "flash"
+        and n >= FLASH_MIN_TOKENS
         and n == k.shape[2]
         and jax.default_backend() == "tpu"
         and n % 256 == 0

@@ -19,10 +19,9 @@ from typing import Optional, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ..ops.attention import sdpa
 from ..ops.norms import silu
 from .distributions import DiagonalGaussian
-from .layers import GroupNorm32, conv1x1, conv3x3
+from .layers import GroupNorm32, _attend, conv1x1, conv3x3
 from .quantize import VectorQuantizer
 
 Dtype = jnp.dtype
@@ -59,7 +58,7 @@ class VaeAttnBlock(nn.Module):
         q = conv1x1(c, name="q", dtype=self.dtype)(y).reshape(b, 1, h * w, c)
         k = conv1x1(c, name="k", dtype=self.dtype)(y).reshape(b, 1, h * w, c)
         v = conv1x1(c, name="v", dtype=self.dtype)(y).reshape(b, 1, h * w, c)
-        out = sdpa(q, k, v).reshape(b, h, w, c)
+        out = _attend(q, k, v).reshape(b, h, w, c)
         return x + conv1x1(c, name="proj_out", dtype=self.dtype)(out)
 
 
