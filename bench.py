@@ -29,14 +29,12 @@ def main(batch_size: int = 8, steps: int = 50, tiny: bool = False):
     import numpy as np
 
     from ealdm_tpu.models.ddpm import LatentDiffusion
-    from ealdm_tpu.ops.norms import set_norm_stats_precision
     from ealdm_tpu.ops.schedules import DDIMSchedule, DiffusionSchedule
     from ealdm_tpu.samplers import DDIMConfig, ddim_sample
 
-    from ealdm_tpu.ops.attention import set_attention_impl
+    import ealdm_tpu
 
-    set_norm_stats_precision("native")  # inference-mode norm stats (bf16)
-    set_attention_impl("flash")         # fused Pallas attention (inference)
+    ealdm_tpu.enable_inference_optimizations()
 
     if tiny:
         res, zres, ch, nembed = 64, 8, 32, 64

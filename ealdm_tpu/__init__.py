@@ -18,3 +18,16 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+
+def enable_inference_optimizations():
+    """Turn on the inference-only fast paths (not differentiable / reduced
+    stats precision): fused Pallas flash attention + native-dtype norm
+    statistics. Call before tracing sampling programs; training keeps the
+    fp32/dense defaults. Measured: +~33% end-to-end on 256^2 DDIM-50 (v5e).
+    """
+    from .ops.attention import set_attention_impl
+    from .ops.norms import set_norm_stats_precision
+
+    set_attention_impl("flash")
+    set_norm_stats_precision("native")

@@ -314,13 +314,13 @@ def main():
     if opt.third_stage and model.cond_stage_key == "mixed":
         from ealdm_tpu.third_stage import dump_third_stage_data, ThirdStageModel
 
-        rng, ts_rng = jax.random.split(rng)
-        data_dir = dump_third_stage_data(
-            model, {"params": jax.device_get(state.params)}, data, logdir, ts_rng
+        rng, ts_rng, ts_rng2 = jax.random.split(rng, 3)
+        host_vars = {"params": jax.device_get(state.params)}
+        dump_third_stage_data(model, host_vars, data, logdir, ts_rng, split="train")
+        dump_third_stage_data(model, host_vars, data, logdir, ts_rng2, split="test")
+        ThirdStageModel(model, host_vars).run(
+            logdir, scaler_dir=train_ds_params.get("path")
         )
-        ThirdStageModel(
-            model, {"params": jax.device_get(state.params)}
-        ).run(logdir, scaler_dir=train_ds_params.get("path"))
     return logdir, model, state
 
 

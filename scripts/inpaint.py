@@ -48,6 +48,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    import ealdm_tpu
+
+    ealdm_tpu.enable_inference_optimizations()
     from ealdm_tpu.inference import make_eps_fn, sample_images
     from ealdm_tpu.models.ddpm import LatentDiffusion
 

@@ -58,6 +58,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    import ealdm_tpu
+
+    ealdm_tpu.enable_inference_optimizations()
     from ealdm_tpu.config import model_from_config
     from ealdm_tpu.inference import make_eps_fn
     from ealdm_tpu.ops.schedules import DDIMSchedule, DiffusionSchedule
