@@ -171,9 +171,9 @@ class ResBlock(nn.Module):
 
 
 def _attend(q, k, v):
-    """[B, H, N, D] attention. The fused Pallas kernel is used only when
-    the global impl is "flash" (inference mode — no VJP), on TPU, for
-    block-aligned self-attention-sized sequences."""
+    """[B, H, N, D] attention. The fused Pallas kernel (grad-safe via a
+    rematerialized dense backward) is used when the global impl is "flash",
+    on TPU, for block-aligned self-attention-sized sequences."""
     n = q.shape[2]
     if (
         attention_impl() == "flash"

