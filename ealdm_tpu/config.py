@@ -161,6 +161,7 @@ _LD_KEYS = {
     "v_posterior", "parameterization", "loss_type", "conditioning_key",
     "cond_stage_key", "cond_stage_trainable", "scale_factor",
     "learn_logvar", "logvar_init", "l_simple_weight", "original_elbo_weight",
+    "split_input_params",
 }
 
 

@@ -22,6 +22,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..ops.patching import clamp_patch_params, patched_apply, unfold2d
 from ..ops.schedules import DiffusionSchedule, extract
 from .stdiff import UnetCond
 from .unet import UNetModel
@@ -137,6 +138,9 @@ class LatentDiffusion(nn.Module):
     num_timesteps_cond: int = 1
     scale_factor: float = 1.0
     unconditional_guidance_scale: float = 2.0  # training-time CFG (ddpm.py:442)
+    # overlapping-crop inference for oversized inputs (reference
+    # split_input_params, ddpm.py:723-1009); keys as ops/patching.py
+    split_input_params: Optional[Dict[str, Any]] = None
     learn_logvar: bool = False
     logvar_init: float = 0.0
     l_simple_weight: float = 1.0
@@ -189,23 +193,53 @@ class LatentDiffusion(nn.Module):
         self.shorten_cond_schedule = self.num_timesteps_cond > 1
 
     # ------------------------------------------------------------- first stage
+    def _patching(self) -> Optional[Dict[str, Any]]:
+        """Active split_input_params for first-stage crops, or None."""
+        p = self.split_input_params
+        if p is not None and p.get("patch_distributed_vq"):
+            return p
+        return None
+
     def encode_first_stage(self, x, rng=None, sample_posterior: bool = True):
-        """Image -> (un-quantized / sampled) latent; gradients stopped."""
+        """Image -> (un-quantized / sampled) latent; gradients stopped.
+        With split_input_params set, encodes an overlapping crop grid and
+        stitches (reference encode_first_stage, ddpm.py:835-880)."""
+        p = self._patching()
+        if p is not None and x.ndim == 4:
+            z = patched_apply(
+                lambda crops: self._encode_raw(crops, rng, sample_posterior),
+                x, p, df=int(p.get("vqf", 1)),
+            )
+        else:
+            z = self._encode_raw(x, rng, sample_posterior)
+        return jax.lax.stop_gradient(z)
+
+    def _encode_raw(self, x, rng=None, sample_posterior: bool = True):
         fs = self.first_stage_model
         if isinstance(fs, VQModel):
-            z = fs.encode_prequant(x)
-        elif isinstance(fs, AutoencoderKL):
+            return fs.encode_prequant(x)
+        if isinstance(fs, AutoencoderKL):
             posterior = fs.encode(x)
-            z = posterior.sample(rng) if sample_posterior else posterior.mode()
-        else:
-            z = fs.encode(x)
-        return jax.lax.stop_gradient(z)
+            return posterior.sample(rng) if sample_posterior else posterior.mode()
+        return fs.encode(x)
 
     def get_first_stage_encoding(self, z):
         return self.scale_factor * z
 
     def decode_first_stage(self, z, force_not_quantize: bool = False):
+        """Latent -> image; with split_input_params set, decodes an
+        overlapping crop grid and stitches with border weighting (reference
+        decode_first_stage, ddpm.py:723-830)."""
         z = (1.0 / self.scale_factor) * z
+        p = self._patching()
+        if p is not None and z.ndim == 4:
+            return patched_apply(
+                lambda crops: self._decode_raw(crops, force_not_quantize),
+                z, p, uf=int(p.get("vqf", 1)),
+            )
+        return self._decode_raw(z, force_not_quantize)
+
+    def _decode_raw(self, z, force_not_quantize: bool = False):
         fs = self.first_stage_model
         if isinstance(fs, VQModel):
             return fs.decode_interface(z, force_not_quantize=force_not_quantize)
@@ -224,6 +258,10 @@ class LatentDiffusion(nn.Module):
         """Encode conditioning. For `mixed` cond, `cond` is a dict with keys
         img/flow/weather/time (+ img_random when building the negative)."""
         if self.cond_stage_model is None:
+            if self._cond_sentinel == "__is_first_stage__":
+                # e.g. inpainting/SR: condition is first-stage-encoded
+                # (reference instantiate_cond_stage, ddpm.py:516-518)
+                return self.encode_first_stage(cond)
             return cond
         if self.cond_stage_key == "mixed":
             img = cond["img"]
@@ -274,6 +312,15 @@ class LatentDiffusion(nn.Module):
 
     def apply_model(self, x_noisy, t, cond_context, *, deterministic=True):
         """Run the denoiser with already-encoded conditioning context."""
+        if self.split_input_params is not None and x_noisy.ndim == 4:
+            return self._apply_model_patched(
+                x_noisy, t, cond_context, deterministic=deterministic
+            )
+        return self._apply_model_dense(
+            x_noisy, t, cond_context, deterministic=deterministic
+        )
+
+    def _apply_model_dense(self, x_noisy, t, cond_context, *, deterministic=True):
         if self.conditioning_key is None or cond_context is None:
             return self.model(x_noisy, t, deterministic=deterministic)
         if self.conditioning_key in ("crossattn", "hybrid", "adm"):
@@ -281,6 +328,39 @@ class LatentDiffusion(nn.Module):
                 x_noisy, t, c_crossattn=[cond_context], deterministic=deterministic
             )
         return self.model(x_noisy, t, c_concat=[cond_context], deterministic=deterministic)
+
+    def _apply_model_patched(self, x_noisy, t, cond_context, *, deterministic=True):
+        """Denoise an overlapping crop grid and stitch (reference apply_model
+        split_input branch, ddpm.py:923-1009). TPU-first: all L crops run as
+        one [B*L, ...] batched UNet call instead of a Python loop; spatial
+        conditioning (image/LR/segmentation concat) is unfolded with the same
+        grid, token/class conditioning is tiled per crop."""
+        p = dict(self.split_input_params)
+        p["ks"], p["stride"] = clamp_patch_params(
+            x_noisy.shape[1:3], tuple(p["ks"]), tuple(p["stride"])
+        )
+        b = x_noisy.shape[0]
+        spatial = (
+            cond_context is not None
+            and getattr(cond_context, "ndim", 0) == 4
+            and cond_context.shape[:3] == x_noisy.shape[:3]
+        )
+        if spatial:
+            c_crops = unfold2d(cond_context, p["ks"], p["stride"])
+            c_flat = c_crops.reshape((-1,) + c_crops.shape[2:])
+
+        def fn(crops):
+            length = crops.shape[0] // b
+            t_in = jnp.repeat(t, length)
+            if cond_context is None:
+                c = None
+            elif spatial:
+                c = c_flat
+            else:
+                c = jnp.repeat(cond_context, length, axis=0)
+            return self._apply_model_dense(crops, t_in, c, deterministic=deterministic)
+
+        return patched_apply(fn, x_noisy, p)
 
     # ------------------------------------------------------------- losses
     def _pixel_loss(self, pred, target):
