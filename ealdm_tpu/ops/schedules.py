@@ -68,7 +68,9 @@ def make_ddim_timesteps(
     so the final alpha lines up with the data distribution.
     """
     if ddim_discr_method == "uniform":
-        c = num_ddpm_timesteps // num_ddim_timesteps
+        # clamp: more DDIM steps than DDPM steps degrades to the full chain
+        # (tiny-timestep smoke configs; reference would ZeroDivisionError)
+        c = max(1, num_ddpm_timesteps // num_ddim_timesteps)
         ddim_timesteps = np.arange(0, num_ddpm_timesteps, c)
     elif ddim_discr_method == "quad":
         ddim_timesteps = (
@@ -76,7 +78,8 @@ def make_ddim_timesteps(
         ).astype(int)
     else:
         raise NotImplementedError(f"unknown ddim discretization: {ddim_discr_method}")
-    return ddim_timesteps + 1
+    # the +1 index shift can reach num_ddpm_timesteps when c == 1; clamp
+    return np.minimum(ddim_timesteps + 1, num_ddpm_timesteps - 1)
 
 
 def make_ddim_sampling_parameters(

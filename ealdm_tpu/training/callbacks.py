@@ -69,11 +69,19 @@ class SetupCallback:
 
 
 class MetricLogger:
-    """JSONL scalar stream (the TB/wandb logger equivalent) + stdout."""
+    """Scalar stream: JSONL (primary) + TensorBoard event file (reference
+    trains under Lightning's TB logger, main.py:537-545) + stdout."""
 
-    def __init__(self, logdir: str, filename: str = "metrics.jsonl"):
+    def __init__(
+        self, logdir: str, filename: str = "metrics.jsonl", tensorboard: bool = True
+    ):
         os.makedirs(logdir, exist_ok=True)
         self.path = os.path.join(logdir, filename)
+        self.tb = None
+        if tensorboard:
+            from .tensorboard import TBEventWriter
+
+            self.tb = TBEventWriter(os.path.join(logdir, "tb"))
 
     def log(self, step: int, metrics: Dict, prefix: str = "", echo: bool = False):
         row = {"step": int(step)}
@@ -84,6 +92,9 @@ class MetricLogger:
                 continue
         with open(self.path, "a") as f:
             f.write(json.dumps(row) + "\n")
+        if self.tb is not None:
+            self.tb.add_scalars({k: v for k, v in row.items() if k != "step"}, step)
+            self.tb.flush()
         if echo:
             shown = {k: round(v, 5) for k, v in row.items() if k != "step"}
             print(f"step {step}: {shown}", flush=True)
@@ -101,6 +112,7 @@ class ImageLogger:
         log_steps: int = 20,
         eta: float = 1.0,
         increase_log_steps: bool = False,
+        tb_writer=None,
     ):
         self.logdir = logdir
         self.batch_frequency = max(1, batch_frequency)
@@ -108,6 +120,7 @@ class ImageLogger:
         self.scaler_dir = scaler_dir
         self.log_steps = log_steps
         self.eta = eta
+        self.tb = tb_writer  # optional shared TBEventWriter for image grids
         self._scalers = {}
 
     def check_frequency(self, step: int) -> bool:
@@ -141,6 +154,8 @@ class ImageLogger:
                 continue
             grid = to_uint8_grid(arr)
             save_png(os.path.join(root, f"{key}_gs-{step:06d}.png"), grid)
+            if self.tb is not None:
+                self.tb.add_image(f"{split}/{key}", grid, step)
         self._write_condition_csv(batch, step, split, root)
         return logs
 

@@ -175,6 +175,7 @@ def main():
         max_images=min(img_logger_cfg.get("max_images", 8), batch_size),
         scaler_dir=train_ds_params.get("path_scaler") or train_ds_params.get("path"),
         log_steps=10 if opt.debug else 50,
+        tb_writer=metric_logger.tb,
     )
     device_stats = DeviceStatsCallback()
     monitor = model_params_cfg.get("monitor", "val/loss_simple_ema")
