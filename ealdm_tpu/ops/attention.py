@@ -133,28 +133,43 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, block_k, seq_k):
     o_ref[...] = (acc / l).astype(o_ref.dtype)
 
 
-def _pick_blocks(bh, nq, nk, d, itemsize, budget=11 * 1024 * 1024):
+def _pick_blocks(bh, nq, nk, d, itemsize, budget=13 * 1024 * 1024):
     """Largest (head_block G, block_q, block_k) fitting the VMEM budget.
 
     The kernel keeps the FULL [G, nk, d] k/v in VMEM (the UNet/VAE sequences
     are short); block_k tiles the inner loop's score buffer. All grid inputs
     (q/out AND k/v) are modelled double-buffered (grid pipelining). Larger G
     amortizes kernel-launch overhead (~30% measured at d=32/n=1024)."""
-    for g in (8, 4, 2, 1):
-        if bh % g:
+
+    def est(g, bq, bk):
+        # Calibrated against Mosaic's reported scoped-vmem demand on v5e
+        # ((g,bq,bk)=(8,128,1024) @ nk=1024,d=32 -> 18.81M; (8,512,128) ->
+        # 20.52M). The two non-obvious terms: the [G,bq,1] online-softmax
+        # carriers (m/l/alpha, ~6 live) are lane-padded to 128, and ~2.5
+        # score-sized fp32 buffers stay live through the inner-loop dot.
+        kv_in = 2 * 2 * g * nk * d * itemsize   # double-buffered k,v tiles
+        qo_in = 2 * 2 * g * bq * d * itemsize   # double-buffered q,out tiles
+        f32_state = 2 * g * bq * d * 4          # q cast + acc
+        scalars = 6 * g * bq * 128 * 4          # m/l/alpha, lane-padded
+        f32_kv = 2 * g * bk * d * 4             # per-block k,v casts
+        scores = int(2.5 * g * bq * bk) * 4     # live score-sized buffers
+        return kv_in + qo_in + f32_state + scalars + f32_kv + scores
+
+    # Preference order, measured on v5e (256ch UNet, n=1024, d=32):
+    # big block_k first (fewer inner iterations / bigger MXU dots dominate:
+    # bk 1024->128 cost -22% end-to-end), then head-batching G, then bq.
+    for bk in (1024, 512, 256, 128):
+        if bk > nk or nk % bk:
             continue
-        kv_bytes = 2 * 2 * g * nk * d * itemsize
-        for bq in (1024, 512, 256, 128):
-            if bq > nq or nq % bq:
+        for g in (8, 4, 2, 1):
+            if bh % g:
                 continue
-            bytes_needed = (
-                kv_bytes
-                + g * bq * d * (4 * itemsize + 8)  # 2x-buffered q/out + fp32 acc
-                + g * bq * min(nk, 1024) * 4       # fp32 score block (exp in place)
-            )
-            if bytes_needed <= budget:
-                return g, bq, min(nk, 1024)
-    return 1, min(nq, 128), min(nk, 256)
+            for bq in (512, 256, 128):
+                if bq > nq or nq % bq:
+                    continue
+                if est(g, bq, bk) <= budget:
+                    return g, bq, bk
+    return 1, min(nq, 128), min(nk, 128)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
@@ -200,17 +215,36 @@ def _flash_forward(q, k, v, scale=None, block_q=None, block_k=None, head_block=N
     kf = k.reshape(bh, nk, d)
     vf = v.reshape(bh, nk, d)
 
-    out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, block_k=block_k, seq_k=nk),
-        out_shape=jax.ShapeDtypeStruct((bh, nq, d), q.dtype),
-        grid=(bh // g, nq // block_q),
-        in_specs=[
-            pl.BlockSpec((g, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, nk, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, nk, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (g, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
-        ),
-    )(qf, kf, vf)
+    def call(qc, kc, vc):
+        rows = qc.shape[0]
+        return pl.pallas_call(
+            functools.partial(_flash_kernel, scale=scale, block_k=block_k, seq_k=nk),
+            out_shape=jax.ShapeDtypeStruct((rows, nq, d), q.dtype),
+            grid=(rows // g, nq // block_q),
+            in_specs=[
+                pl.BlockSpec((g, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((g, nk, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((g, nk, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (g, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+            ),
+        )(qc, kc, vc)
+
+    # Large operands get staged whole into scoped VMEM by the TPU compiler
+    # (~16MB/core): at bh*max(nq,nk)*d*itemsize beyond ~12MB that staging
+    # OOMs, so split the (batch*head) axis into independent pallas_calls.
+    # Each chunk is a multiple of G; single-chunk inputs are unaffected.
+    row_bytes = max(nq, nk) * d * q.dtype.itemsize
+    max_rows = max(g, int(12 * 1024 * 1024 / (row_bytes * 1.25)) // g * g)
+    if bh <= max_rows:
+        out = call(qf, kf, vf)
+    else:
+        n_chunks = -(-bh // max_rows)
+        chunk = -(-bh // n_chunks // g) * g
+        outs = [
+            call(qf[s : s + chunk], kf[s : s + chunk], vf[s : s + chunk])
+            for s in range(0, bh, chunk)
+        ]
+        out = jnp.concatenate(outs, axis=0)
     return out.reshape(b, h, nq, d)
