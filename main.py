@@ -46,6 +46,9 @@ def get_parser():
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel degree")
     p.add_argument("--accumulate_grad_batches", type=int, default=1)
     p.add_argument("--log_every", type=int, default=50)
+    p.add_argument("--profile", type=int, default=0, metavar="N",
+                   help="capture a jax.profiler trace of train steps 2..2+N "
+                        "into <logdir>/profile and print a step-time summary")
     p.add_argument("--val_every_epochs", type=int, default=1)
     p.add_argument("--ckpt_every_epochs", type=int, default=1)
     p.add_argument("--third_stage", type=str2bool, default=True)
@@ -249,6 +252,11 @@ def main():
         return logdir, model, state
 
     # ------------------------------------------------------------ train loop
+    from ealdm_tpu.utils.profiling import StepTimer, fence, trace
+
+    timer = StepTimer()
+    prof_start, prof_stop = (2, 2 + opt.profile) if opt.profile else (-1, -1)
+    prof_ctx = None
     step = int(state.step)
     try:
         for epoch in range(opt.max_epochs):
@@ -259,7 +267,17 @@ def main():
             )
             for batch in prefetch:
                 rng, step_rng = jax.random.split(rng)
-                state, metrics = train_step(state, batch, step_rng)
+                if step == prof_start:
+                    prof_ctx = trace(os.path.join(logdir, "profile"))
+                    prof_ctx.__enter__()
+                with timer.section("train_step"):
+                    state, metrics = train_step(state, batch, step_rng)
+                    if opt.profile:  # fence so the bucket measures device time
+                        fence(metrics["loss"])
+                if step == prof_stop and prof_ctx is not None:
+                    prof_ctx.__exit__(None, None, None)
+                    prof_ctx = None
+                    print(f"profiler trace written to {logdir}/profile")
                 step += 1
                 if step % opt.log_every == 0:
                     metric_logger.log(step, jax.device_get(metrics),
@@ -307,6 +325,10 @@ def main():
     except Exception:
         melk()
         raise
+    finally:
+        if prof_ctx is not None:  # stop a trace left open by break/raise
+            prof_ctx.__exit__(None, None, None)
+        timer.report()
 
     ckpt_mgr.save_last(jax.device_get(state), step)
     print(f"Training done at step {step}; checkpoints in {logdir}/checkpoints")
