@@ -414,6 +414,9 @@ class ThirdStageModel:
         if not os.path.isdir(train_dir):
             train_dir = test_dir
         train_ds = ThirdStageDataset(train_dir, "train")
-        self.train(DataLoader(train_ds, batch_size, shuffle=True), epochs=epochs)
+        # clamp so tiny smoke dumps still yield one batch (drop_last loader)
+        bs_tr = max(1, min(batch_size, len(train_ds)))
+        self.train(DataLoader(train_ds, bs_tr, shuffle=True), epochs=epochs)
         test_ds = ThirdStageDataset(test_dir if os.path.isdir(test_dir) else train_dir)
-        return self.test(DataLoader(test_ds, batch_size), logdir, scaler_dir)
+        bs_te = max(1, min(batch_size, len(test_ds)))
+        return self.test(DataLoader(test_ds, bs_te), logdir, scaler_dir)

@@ -52,6 +52,8 @@ def get_parser():
     p.add_argument("--val_every_epochs", type=int, default=1)
     p.add_argument("--ckpt_every_epochs", type=int, default=1)
     p.add_argument("--third_stage", type=str2bool, default=True)
+    p.add_argument("--third_stage_max_batches", type=int, default=None,
+                   help="cap the per-split third-stage dump (smoke runs)")
     p.add_argument("--dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
     return p
@@ -339,8 +341,13 @@ def main():
 
         rng, ts_rng, ts_rng2 = jax.random.split(rng, 3)
         host_vars = {"params": jax.device_get(state.params)}
-        dump_third_stage_data(model, host_vars, data, logdir, ts_rng, split="train")
-        dump_third_stage_data(model, host_vars, data, logdir, ts_rng2, split="test")
+        mb = opt.third_stage_max_batches
+        dump_third_stage_data(
+            model, host_vars, data, logdir, ts_rng, split="train", max_batches=mb
+        )
+        dump_third_stage_data(
+            model, host_vars, data, logdir, ts_rng2, split="test", max_batches=mb
+        )
         ThirdStageModel(model, host_vars).run(
             logdir, scaler_dir=train_ds_params.get("path")
         )
