@@ -76,3 +76,12 @@ def test_third_stage_train_and_test(dumps, tmp_path):
         assert k in results and np.isfinite(results[k]), k
     assert os.path.exists(tmp_path / "third_stage_flow.csv")
     assert os.path.exists(tmp_path / "third_stage_results.csv")
+
+
+def test_run_clamps_batch_size_to_tiny_dumps(dumps):
+    """run() must not silently drop the only (partial) batch when the dump
+    is smaller than the default head batch size (drop_last loader)."""
+    model = ThirdStageModel(_FakeDiffusion(), {"params": {}}, lr=1e-3)
+    results = model.run(dumps, batch_size=64)  # 4 samples << 64
+    for k in ("fid", "weather_f1", "clip_agreement", "flow_mse"):
+        assert k in results, k
