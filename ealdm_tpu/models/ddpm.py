@@ -259,9 +259,10 @@ class LatentDiffusion(nn.Module):
         img/flow/weather/time (+ img_random when building the negative)."""
         if self.cond_stage_model is None:
             if self._cond_sentinel == "__is_first_stage__":
-                # e.g. inpainting/SR: condition is first-stage-encoded
-                # (reference instantiate_cond_stage, ddpm.py:516-518)
-                return self.encode_first_stage(cond)
+                # e.g. inpainting/SR: condition is first-stage-encoded; KL
+                # posteriors use the MODE (reference instantiate_cond_stage
+                # ddpm.py:516-518 + get_learned_conditioning 558-563)
+                return self.encode_first_stage(cond, sample_posterior=False)
             return cond
         if self.cond_stage_key == "mixed":
             img = cond["img"]

@@ -222,3 +222,48 @@ def test_ancestral_sampler_runs():
     out = ancestral_sample(eps_fn, jax.random.PRNGKey(0), (1, 4, 4, 3), sched)
     assert out.shape == (1, 4, 4, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_first_stage_cond_sentinel_encodes_condition():
+    """cond_stage_config='__is_first_stage__' (inpainting/SR, reference
+    instantiate_cond_stage ddpm.py:516-518): get_learned_conditioning must
+    route the raw conditioning image through the FIRST-STAGE encoder."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ealdm_tpu.models.ddpm import LatentDiffusion
+
+    fs = dict(
+        target="AutoencoderKL",
+        params=dict(
+            embed_dim=3,
+            ddconfig=dict(
+                double_z=True, z_channels=3, resolution=16, in_channels=3,
+                out_ch=3, ch=8, ch_mult=[1, 2], num_res_blocks=1,
+                attn_resolutions=[], dropout=0.0,
+            ),
+        ),
+    )
+    unet = dict(
+        image_size=8, in_channels=6, out_channels=3, model_channels=8,
+        num_res_blocks=1, attention_resolutions=(), channel_mult=(1,),
+    )
+    m = LatentDiffusion(
+        unet_config=unet, first_stage_config=fs,
+        cond_stage_config="__is_first_stage__", conditioning_key="concat",
+        cond_stage_key="LR_image", timesteps=8,
+        unconditional_guidance_scale=1.0,
+    )
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 16, 16, 3), jnp.float32)
+
+    def both(mdl, img):
+        c = mdl.get_learned_conditioning(img)
+        z = mdl.encode_first_stage(img, None, False)
+        return c, z
+
+    params = m.init(jax.random.PRNGKey(0), x, method=both)
+    c, z = m.apply(params, x, method=both)
+    # encoded to latent resolution, not passed through raw
+    assert c.shape == (2, 8, 8, 3), c.shape
+    assert c.shape == z.shape
