@@ -1,0 +1,336 @@
+"""Weight-mapped output parity against the ACTUAL reference torch modules.
+
+The reference lives at /root/reference (importable: torch+einops are in the
+env). Each test constructs the torch module, exports its state_dict through
+the ealdm_tpu.utils.torch_import key maps into the flax twin, and asserts
+fp32 forward outputs match on fixed inputs. This cashes in the importer
+machinery with real numerics, not just key-name round trips.
+
+Parity targets:
+  UNetModel                /root/reference/ldm/modules/diffusionmodules/openaimodel.py:443-742
+  Encoder/Decoder          /root/reference/ldm/modules/diffusionmodules/model.py:368-568
+  SpatialTransformer       /root/reference/ldm/modules/attention.py:218-261
+  DDIMSampler trajectory   /root/reference/ldm/models/diffusion/ddim.py:164-204
+"""
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+# --- make /root/reference importable (omegaconf is absent in this env; the
+# reference only uses ListConfig in an isinstance check, so stub it).
+if "omegaconf" not in sys.modules:
+    om = types.ModuleType("omegaconf")
+    lc = types.ModuleType("omegaconf.listconfig")
+
+    class ListConfig(list):
+        pass
+
+    lc.ListConfig = ListConfig
+    om.listconfig = lc
+    om.ListConfig = ListConfig
+    sys.modules["omegaconf"] = om
+    sys.modules["omegaconf.listconfig"] = lc
+
+if "/root/reference" not in sys.path:
+    sys.path.insert(0, "/root/reference")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from ealdm_tpu.utils import import_state_dict, unet_key_map, vae_key_map  # noqa: E402
+
+TOL = dict(rtol=2e-4, atol=2e-4)
+
+
+def _sd_numpy(module):
+    return {k: v.detach().cpu().numpy() for k, v in module.state_dict().items()}
+
+
+def _nchw(x_nhwc: np.ndarray) -> torch.Tensor:
+    return torch.from_numpy(np.transpose(x_nhwc, (0, 3, 1, 2)).copy())
+
+
+def _to_nhwc(y_t: torch.Tensor) -> np.ndarray:
+    return np.transpose(y_t.detach().cpu().numpy(), (0, 2, 3, 1))
+
+
+UNET_SPATIAL_CFG = dict(
+    image_size=16, in_channels=4, out_channels=4, model_channels=32,
+    attention_resolutions=[1, 2], num_res_blocks=1, channel_mult=[1, 2],
+    num_head_channels=16, use_spatial_transformer=True, transformer_depth=1,
+    context_dim=64,
+)
+
+
+def _build_unet_pair(cfg, rng, x, t, ctx=None, y=None):
+    """Returns (torch_out_nhwc, flax_out) for an identically-weighted pair."""
+    from ldm.modules.diffusionmodules.openaimodel import UNetModel as TorchUNet
+
+    from ealdm_tpu.models import UNetModel
+
+    torch.manual_seed(0)
+    tm = TorchUNet(**cfg).eval()
+
+    fm = UNetModel(**cfg)
+    kwargs = {}
+    if y is not None:
+        kwargs["y"] = jnp.asarray(y)
+    params = fm.init(
+        jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(t),
+        jnp.asarray(ctx) if ctx is not None else None, **kwargs
+    )["params"]
+    params, missing, _ = import_state_dict(_sd_numpy(tm), unet_key_map(cfg), params)
+    # identity skips (in_ch == out_ch) carry no torch weights; nothing else
+    # may go unmapped
+    assert all(m.endswith(".skip_connection") for m in missing), missing[:8]
+
+    with torch.no_grad():
+        out_t = tm(
+            _nchw(x), torch.from_numpy(t),
+            context=torch.from_numpy(ctx) if ctx is not None else None,
+            y=torch.from_numpy(y) if y is not None else None,
+        )
+    out_f = fm.apply(
+        {"params": params}, jnp.asarray(x), jnp.asarray(t),
+        jnp.asarray(ctx) if ctx is not None else None, **kwargs
+    )
+    return _to_nhwc(out_t), np.asarray(out_f)
+
+
+def test_unet_spatial_transformer_output_parity(rng):
+    x = rng.randn(2, 16, 16, 4).astype(np.float32)
+    t = np.array([3, 17], dtype=np.int64)
+    ctx = rng.randn(2, 3, 64).astype(np.float32)
+    ref, ours = _build_unet_pair(UNET_SPATIAL_CFG, rng, x, t, ctx)
+    np.testing.assert_allclose(ours, ref, **TOL)
+
+
+def test_unet_qkv_attention_class_cond_parity(rng):
+    cfg = dict(
+        image_size=16, in_channels=3, out_channels=3, model_channels=32,
+        attention_resolutions=[2], num_res_blocks=1, channel_mult=[1, 2],
+        num_heads=2, num_classes=5,
+    )
+    x = rng.randn(2, 16, 16, 3).astype(np.float32)
+    t = np.array([0, 9], dtype=np.int64)
+    y = np.array([1, 4], dtype=np.int64)
+    ref, ours = _build_unet_pair(cfg, rng, x, t, y=y)
+    np.testing.assert_allclose(ours, ref, **TOL)
+
+
+def test_unet_scale_shift_resblock_updown_parity(rng):
+    cfg = dict(
+        image_size=16, in_channels=3, out_channels=3, model_channels=32,
+        attention_resolutions=[2], num_res_blocks=1, channel_mult=[1, 2],
+        num_heads=2, use_scale_shift_norm=True, resblock_updown=True,
+    )
+    x = rng.randn(1, 16, 16, 3).astype(np.float32)
+    t = np.array([5], dtype=np.int64)
+    ref, ours = _build_unet_pair(cfg, rng, x, t)
+    np.testing.assert_allclose(ours, ref, **TOL)
+
+
+# ------------------------------------------------------------------ VAE
+DD = dict(
+    double_z=False, z_channels=4, resolution=32, in_channels=3, out_ch=3,
+    ch=32, ch_mult=[1, 2], num_res_blocks=1, attn_resolutions=[16],
+    dropout=0.0,
+)
+
+
+def test_vae_encoder_parity(rng):
+    from ldm.modules.diffusionmodules.model import Encoder as TorchEncoder
+
+    from ealdm_tpu.models.vae import Encoder, _ddkwargs
+
+    torch.manual_seed(0)
+    tm = TorchEncoder(**DD).eval()
+    fm = Encoder(**_ddkwargs(DD))
+    x = rng.randn(2, 32, 32, 3).astype(np.float32)
+    params = fm.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+    sd = {f"encoder.{k}": v for k, v in _sd_numpy(tm).items()}
+    wrapped, missing, _ = import_state_dict(
+        sd, vae_key_map(DD, "encoder"), {"encoder": params}
+    )
+    # quant/post_quant/quantize rules have no torch twin in a bare Encoder;
+    # nin_shortcut is Identity (weightless) when in_ch == out_ch
+    assert all(
+        m.startswith(("quant_conv", "post_quant_conv", "quantize"))
+        or m.endswith(".nin_shortcut")
+        for m in missing
+    ), missing
+    with torch.no_grad():
+        ref = _to_nhwc(tm(_nchw(x)))
+    ours = np.asarray(fm.apply({"params": wrapped["encoder"]}, jnp.asarray(x)))
+    np.testing.assert_allclose(ours, ref, **TOL)
+
+
+def test_vae_decoder_parity(rng):
+    from ldm.modules.diffusionmodules.model import Decoder as TorchDecoder
+
+    from ealdm_tpu.models.vae import Decoder, _ddkwargs
+
+    torch.manual_seed(0)
+    tm = TorchDecoder(**DD).eval()
+    fm = Decoder(**_ddkwargs(DD, decoder=True))
+    z = rng.randn(2, 16, 16, 4).astype(np.float32)
+    params = fm.init(jax.random.PRNGKey(0), jnp.asarray(z))["params"]
+    sd = {f"decoder.{k}": v for k, v in _sd_numpy(tm).items()}
+    wrapped, missing, _ = import_state_dict(
+        sd, vae_key_map(DD, "decoder"), {"decoder": params}
+    )
+    assert all(
+        m.startswith(("quant_conv", "post_quant_conv", "quantize"))
+        or m.endswith(".nin_shortcut")
+        for m in missing
+    ), missing
+    with torch.no_grad():
+        ref = _to_nhwc(tm(_nchw(z)))
+    ours = np.asarray(fm.apply({"params": wrapped["decoder"]}, jnp.asarray(z)))
+    np.testing.assert_allclose(ours, ref, **TOL)
+
+
+# --------------------------------------------------- SpatialTransformer
+def test_spatial_transformer_parity(rng):
+    from ldm.modules.attention import SpatialTransformer as TorchST
+
+    from ealdm_tpu.models.layers import SpatialTransformer
+
+    torch.manual_seed(0)
+    C, heads, dim_head, ctx_dim = 32, 4, 8, 48
+    tm = TorchST(C, heads, dim_head, depth=2, context_dim=ctx_dim).eval()
+    fm = SpatialTransformer(heads, dim_head, depth=2)
+    x = rng.randn(2, 8, 8, C).astype(np.float32)
+    ctx = rng.randn(2, 5, ctx_dim).astype(np.float32)
+    params = fm.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(ctx))["params"]
+
+    rules = [("norm", "norm", "norm"), ("proj_in", "proj_in", "conv"),
+             ("proj_out", "proj_out", "conv")]
+    for d in range(2):
+        tb, fb = f"transformer_blocks.{d}", f"block_{d}"
+        rules += [
+            (f"{tb}.attn1.to_q", f"{fb}/attn1/to_q", "linear"),
+            (f"{tb}.attn1.to_k", f"{fb}/attn1/to_k", "linear"),
+            (f"{tb}.attn1.to_v", f"{fb}/attn1/to_v", "linear"),
+            (f"{tb}.attn1.to_out.0", f"{fb}/attn1/to_out", "linear"),
+            (f"{tb}.attn2.to_q", f"{fb}/attn2/to_q", "linear"),
+            (f"{tb}.attn2.to_k", f"{fb}/attn2/to_k", "linear"),
+            (f"{tb}.attn2.to_v", f"{fb}/attn2/to_v", "linear"),
+            (f"{tb}.attn2.to_out.0", f"{fb}/attn2/to_out", "linear"),
+            (f"{tb}.ff.net.0.proj", f"{fb}/ff/geglu/proj", "linear"),
+            (f"{tb}.ff.net.2", f"{fb}/ff/out_proj", "linear"),
+            (f"{tb}.norm1", f"{fb}/norm1", "norm"),
+            (f"{tb}.norm2", f"{fb}/norm2", "norm"),
+            (f"{tb}.norm3", f"{fb}/norm3", "norm"),
+        ]
+    params, missing, _ = import_state_dict(_sd_numpy(tm), rules, params)
+    assert not missing, missing
+    with torch.no_grad():
+        ref = _to_nhwc(tm(_nchw(x), context=torch.from_numpy(ctx)))
+    ours = np.asarray(fm.apply({"params": params}, jnp.asarray(x), jnp.asarray(ctx)))
+    np.testing.assert_allclose(ours, ref, **TOL)
+
+
+# --------------------------------------------------- DDIM trajectory parity
+class _CPUDDIMSampler:
+    """Reference DDIMSampler with register_buffer forced onto CPU (the
+    reference hardcodes .to('cuda'), ddim.py:19-22); everything else is the
+    reference class untouched."""
+
+    def __new__(cls, model):
+        from ldm.models.diffusion.ddim import DDIMSampler
+
+        class _Patched(DDIMSampler):
+            def register_buffer(self, name, attr):
+                if isinstance(attr, torch.Tensor):
+                    attr = attr.to(torch.device("cpu"))
+                setattr(self, name, attr)
+
+        return _Patched(model)
+
+
+class _StubLDM:
+    """Minimal model surface the reference DDIMSampler touches."""
+
+    def __init__(self, unet, schedule):
+        self.unet = unet
+        self.device = torch.device("cpu")
+        self.num_timesteps = schedule.num_timesteps
+        self.betas = torch.from_numpy(np.asarray(schedule.betas, np.float32))
+        self.alphas_cumprod = torch.from_numpy(
+            np.asarray(schedule.alphas_cumprod, np.float32)
+        )
+        self.alphas_cumprod_prev = torch.from_numpy(
+            np.asarray(schedule.alphas_cumprod_prev, np.float32)
+        )
+        self.parameterization = "eps"
+
+    def apply_model(self, x, t, c):
+        return self.unet(x, t, context=c)
+
+
+def test_ddim_trajectory_parity_vs_reference_sampler(rng):
+    """5-step DDIM chain on an identically-weighted tiny UNet: the flax
+    lax.scan sampler must reproduce the reference torch trajectory."""
+    from ldm.modules.diffusionmodules.openaimodel import UNetModel as TorchUNet
+
+    from ealdm_tpu.models import UNetModel
+    from ealdm_tpu.ops.schedules import DDIMSchedule, DiffusionSchedule
+    from ealdm_tpu.samplers import DDIMConfig, ddim_sample
+
+    cfg = dict(
+        image_size=8, in_channels=4, out_channels=4, model_channels=32,
+        attention_resolutions=[2], num_res_blocks=1, channel_mult=[1, 2],
+        num_head_channels=16, use_spatial_transformer=True,
+        transformer_depth=1, context_dim=32,
+    )
+    torch.manual_seed(0)
+    tm = TorchUNet(**cfg).eval()
+    fm = UNetModel(**cfg)
+
+    b, steps, T = 2, 5, 20
+    x_T = rng.randn(b, 8, 8, 4).astype(np.float32)
+    ctx = rng.randn(b, 4, 32).astype(np.float32)
+
+    params = fm.init(
+        jax.random.PRNGKey(0), jnp.asarray(x_T), jnp.zeros((b,), jnp.int32),
+        jnp.asarray(ctx)
+    )["params"]
+    params, missing, _ = import_state_dict(_sd_numpy(tm), unet_key_map(cfg), params)
+    assert all(m.endswith(".skip_connection") for m in missing), missing[:8]
+
+    sched = DiffusionSchedule.create(
+        timesteps=T, linear_start=0.0015, linear_end=0.0195
+    )
+    stub = _StubLDM(tm, sched)
+    sampler = _CPUDDIMSampler(stub)
+    with torch.no_grad():
+        ref_out, _ = sampler.sample(
+            S=steps, batch_size=b, shape=(4, 8, 8),
+            conditioning=torch.from_numpy(np.transpose(ctx, (0, 1, 2)).copy()),
+            eta=0.0, verbose=False, x_T=_nchw(x_T),
+        )
+    ref = _to_nhwc(ref_out)
+
+    ddim = DDIMSchedule.create(sched, steps, eta=0.0)
+    # reference subsets timesteps the same way; assert the tables line up
+    np.testing.assert_array_equal(
+        np.asarray(ddim.timesteps), np.asarray(sampler.ddim_timesteps)
+    )
+    np.testing.assert_allclose(
+        np.asarray(ddim.alphas), sampler.ddim_alphas.numpy(), rtol=1e-6
+    )
+
+    def eps_fn(x, t, c):
+        return fm.apply({"params": params}, x, t, c)
+
+    ours = ddim_sample(
+        eps_fn, jax.random.PRNGKey(1), (b, 8, 8, 4), ddim,
+        DDIMConfig(num_steps=steps, eta=0.0), cond=jnp.asarray(ctx),
+        x_T=jnp.asarray(x_T),
+    )
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=5e-4, atol=5e-4)
