@@ -111,6 +111,10 @@ _REGISTRY = {
     "ldm.data.imagenet.ImageNetSRValidation": "ealdm_tpu.data.images:ImageSRDataset",
     "ldm.data.imagenet.ImageNetTrain": "ealdm_tpu.data.images:ImageFolderDataset",
     "ldm.data.imagenet.ImageNetValidation": "ealdm_tpu.data.images:ImageFolderDataset",
+    "taming.data.faceshq.CelebAHQTrain": "ealdm_tpu.data.images:ImageFolderDataset",
+    "taming.data.faceshq.CelebAHQValidation": "ealdm_tpu.data.images:ImageFolderDataset",
+    "taming.data.faceshq.FFHQTrain": "ealdm_tpu.data.images:ImageFolderDataset",
+    "taming.data.faceshq.FFHQValidation": "ealdm_tpu.data.images:ImageFolderDataset",
 }
 
 
@@ -159,7 +163,7 @@ def instantiate_from_config(config: Dict, **extra):
 _LD_KEYS = {
     "timesteps", "beta_schedule", "linear_start", "linear_end", "cosine_s",
     "v_posterior", "parameterization", "loss_type", "conditioning_key",
-    "cond_stage_key", "cond_stage_trainable", "scale_factor",
+    "first_stage_key", "cond_stage_key", "cond_stage_trainable", "scale_factor",
     "learn_logvar", "logvar_init", "l_simple_weight", "original_elbo_weight",
     "split_input_params",
 }

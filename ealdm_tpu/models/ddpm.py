@@ -133,6 +133,7 @@ class LatentDiffusion(nn.Module):
     parameterization: str = "eps"
     loss_type: str = "l2"
     conditioning_key: Optional[str] = None
+    first_stage_key: str = "img"
     cond_stage_key: str = "image"
     cond_stage_trainable: bool = False
     num_timesteps_cond: int = 1
@@ -417,9 +418,9 @@ class LatentDiffusion(nn.Module):
         conditional model, or {"img": ...} for unconditional.
         """
         rngs = jax.random.split(rng, 4)
-        x = batch[  # target frame(s)
-            "img"
-        ]
+        # target frame(s): the DataModule normalizes to "img", but raw
+        # reference-schema batches may use first_stage_key ("image", "jpg")
+        x = batch.get("img", batch.get(self.first_stage_key))
         z = self.encode_first_stage(x, rng=rngs[0])
         z = self.get_first_stage_encoding(z)
 
@@ -472,7 +473,8 @@ class LatentDiffusion(nn.Module):
         first-stage decode/quantize), so one `model.init(...,
         method=model.full_init)` yields the complete parameter tree."""
         loss, metrics = self.training_loss(batch, rng, train=False)
-        z = self.encode_first_stage(batch["img"][:1], rng=rng)
+        img = batch.get("img", batch.get(self.first_stage_key))
+        z = self.encode_first_stage(img[:1], rng=rng)
         z = self.get_first_stage_encoding(z)
         self.decode_first_stage(z)  # touches quantizer + decoder params
         return loss, metrics

@@ -200,4 +200,9 @@ def build_encoder(target: str, params: Dict[str, Any], dtype=jnp.float32):
         return FrozenCLIPTextEmbedder(dtype=dtype, **kw)
     if name == "FrozenClipImageEmbedder":
         return FrozenClipImageEmbedder(dtype=dtype)
+    if name == "Identity":
+        # torch.nn.Identity cond stage (retrieval-augmented-diffusion
+        # 768x768.yaml): the conditioning is a precomputed embedding passed
+        # through unchanged.
+        return None
     raise ValueError(f"unknown cond stage target: {target}")
