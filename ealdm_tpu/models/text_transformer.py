@@ -7,13 +7,17 @@ AttentionLayers + fixed positional embeddings) used by BERTEmbedder
 GELU MLPs; weights importable from a reference checkpoint via the key-mapped
 loader in utils/torch_import.py.
 
-The tokenizer is a deterministic hash-bucket scheme (hermetic — no vocab
-download); swap in a real HF tokenizer via `set_encode_fn` for strict text
-parity when vocab files are available.
+The tokenizer delegates to the in-repo WordPiece implementation
+(`ealdm_tpu.data.tokenizer`, BERT-uncased semantics over the committed
+`vocab_en.txt`; reference `encoders/modules.py:57-60` uses HF
+bert-base-uncased). A deterministic hash-bucket scheme remains as fallback
+when no vocab file is present, and `set_encode_fn` swaps in any external
+tokenizer.
 """
 from __future__ import annotations
 
 import hashlib
+import os
 import re
 from typing import Any, Callable, Optional, Sequence
 
@@ -23,15 +27,29 @@ import numpy as np
 
 
 class SimpleTokenizer:
-    """Deterministic word -> bucket tokenizer with BOS/EOS/PAD conventions."""
+    """WordPiece tokenizer (committed vocab) with hash-bucket fallback."""
 
     PAD, BOS, EOS, UNK = 0, 1, 2, 3
     _RESERVED = 4
 
-    def __init__(self, vocab_size: int = 30522, max_len: int = 77):
+    def __init__(
+        self,
+        vocab_size: int = 30522,
+        max_len: int = 77,
+        vocab_path: Optional[str] = None,
+    ):
         self.vocab_size = vocab_size
         self.max_len = max_len
         self._encode_fn: Optional[Callable] = None
+        self._wordpiece = None
+        from ..data.tokenizer import DEFAULT_VOCAB_PATH, WordPieceTokenizer
+
+        path = vocab_path or DEFAULT_VOCAB_PATH
+        if os.path.exists(path):
+            wp = WordPieceTokenizer(path, max_len=max_len)
+            if len(wp) <= vocab_size:
+                self._wordpiece = wp
+                self.PAD = wp.pad_id
 
     def set_encode_fn(self, fn: Callable[[str], Sequence[int]]):
         self._encode_fn = fn
@@ -43,6 +61,8 @@ class SimpleTokenizer:
     def encode(self, text: str) -> list[int]:
         if self._encode_fn is not None:
             return list(self._encode_fn(text))[: self.max_len]
+        if self._wordpiece is not None:
+            return self._wordpiece.encode(text)
         words = re.findall(r"[a-z0-9]+|[^\sa-z0-9]", text.lower())
         ids = [self.BOS] + [self._bucket(w) for w in words][: self.max_len - 2] + [self.EOS]
         return ids
