@@ -70,6 +70,7 @@ _REGISTRY = {
     # diffusion models
     "ldm.models.diffusion.ddpm.LatentDiffusion": "ealdm_tpu.models.ddpm:LatentDiffusion",
     "ldm.models.diffusion.ddpm.DDPM": "ealdm_tpu.models.ddpm:DDPM",
+    "ldm.models.diffusion.ddpm.Layout2ImgDiffusion": "ealdm_tpu.models.ddpm:Layout2ImgDiffusion",
     # first stages
     "ldm.models.autoencoder.VQModelInterface": "ealdm_tpu.models.vae:VQModel",
     "ldm.models.autoencoder.VQModel": "ealdm_tpu.models.vae:VQModel",
@@ -115,6 +116,10 @@ _REGISTRY = {
     "taming.data.faceshq.CelebAHQValidation": "ealdm_tpu.data.images:ImageFolderDataset",
     "taming.data.faceshq.FFHQTrain": "ealdm_tpu.data.images:ImageFolderDataset",
     "taming.data.faceshq.FFHQValidation": "ealdm_tpu.data.images:ImageFolderDataset",
+    # layout-to-image (reference OpenImages bbox ETL is download-based;
+    # mapped to the in-repo synthetic layout dataset, data/layout.py)
+    "ldm.data.openimages.OpenImagesBBoxTrain": "ealdm_tpu.data.layout:SyntheticLayoutDataset",
+    "ldm.data.openimages.OpenImagesBBoxValidation": "ealdm_tpu.data.layout:SyntheticLayoutDataset",
 }
 
 
@@ -178,7 +183,7 @@ def model_from_config(model_cfg: Dict, dtype=None):
     """
     import jax.numpy as jnp
 
-    from .models.ddpm import DDPM, LatentDiffusion
+    from .models.ddpm import DDPM, LatentDiffusion, Layout2ImgDiffusion
 
     params = dict(model_cfg.get("params", {}))
     base_lr = model_cfg.get("base_learning_rate", 1e-6)
@@ -197,5 +202,10 @@ def model_from_config(model_cfg: Dict, dtype=None):
     if dtype is not None:
         kwargs["dtype"] = dtype
 
-    cls = LatentDiffusion if target.endswith("LatentDiffusion") else DDPM
+    if target.endswith("Layout2ImgDiffusion"):
+        cls = Layout2ImgDiffusion
+    elif target.endswith("LatentDiffusion"):
+        cls = LatentDiffusion
+    else:
+        cls = DDPM
     return cls(**kwargs), base_lr

@@ -342,11 +342,24 @@ class LatentDiffusion(nn.Module):
             x_noisy.shape[1:3], tuple(p["ks"]), tuple(p["stride"])
         )
         b = x_noisy.shape[0]
-        spatial = (
-            cond_context is not None
-            and getattr(cond_context, "ndim", 0) == 4
-            and cond_context.shape[:3] == x_noisy.shape[:3]
+        # Dispatch on the conditioning mode, not tensor shape: spatial
+        # conditioning (image/LR/segmentation maps concatenated to the UNet
+        # input, reference cond keys at ddpm.py:935-947) rides the concat
+        # path and is unfolded with the same crop grid; token/class context
+        # (crossattn/adm) is tiled per crop. A crossattn context that
+        # coincidentally matched H,W must NOT be unfolded.
+        spatial = cond_context is not None and self.conditioning_key in (
+            "concat",
+            "hybrid",
         )
+        if spatial:
+            assert (
+                getattr(cond_context, "ndim", 0) == 4
+                and cond_context.shape[:3] == x_noisy.shape[:3]
+            ), (
+                "concat conditioning must be a [B,H,W,C] map matching the "
+                f"input grid, got {getattr(cond_context, 'shape', None)}"
+            )
         if spatial:
             c_crops = unfold2d(cond_context, p["ks"], p["stride"])
             c_flat = c_crops.reshape((-1,) + c_crops.shape[2:])
