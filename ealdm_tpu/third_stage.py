@@ -33,6 +33,61 @@ from .models.resnet import ResNet50
 from .data.stdiff import WEATHER_CLASSES
 
 
+class CLIPZeroShot:
+    """CLIP-style zero-shot weather-label scorer (reference
+    `third_stage_model.py:774-789`): the 10 class names go through the text
+    trunk once, images through the image trunk, and the per-image logits are
+    the cosine similarities against each class embedding. Agreement is then
+    argmax-vs-true-labels — scored by the IMAGE content, independent of the
+    trained fc heads. Both trunks use fixed seed-0 parameters (weight-
+    importable for real CLIP values; the scorer plumbing and metric math are
+    exact given embeddings)."""
+
+    def __init__(
+        self,
+        class_names=WEATHER_CLASSES,
+        embed_dim: int = 512,
+        image_size: int = 224,
+        prompt: str = "a photo taken on a {} day",
+    ):
+        from .models.encoders import (
+            FrozenCLIPTextEmbedder,
+            FrozenClipImageEmbedder,
+        )
+
+        self.class_names = list(class_names)
+        self.text_model = FrozenCLIPTextEmbedder(n_embed=embed_dim)
+        self.image_model = FrozenClipImageEmbedder(
+            out_dim=embed_dim, image_size=image_size
+        )
+        rng = jax.random.PRNGKey(0)  # pinned: scorer is fixed across runs
+        from .models.text_transformer import SimpleTokenizer
+
+        tokenizer = SimpleTokenizer(
+            self.text_model.vocab_size, self.text_model.max_seq_len
+        )
+        tokens = tokenizer([prompt.format(c) for c in self.class_names])
+        self._text_params = self.text_model.init(rng, tokens)
+        self._image_params = self.image_model.init(
+            rng, jnp.zeros((1, image_size, image_size, 3))
+        )
+        # [n_classes, D], L2-normalized by the text model
+        self.class_embeddings = self.text_model.apply(self._text_params, tokens)[
+            :, 0, :
+        ]
+        self._embed_images = jax.jit(
+            lambda imgs: self.image_model.apply(self._image_params, imgs)
+        )
+
+    def logits(self, images) -> np.ndarray:
+        """[B, n_classes] cosine-similarity logits for [-1,1] NHWC images."""
+        z = self._embed_images(jnp.asarray(images))
+        return np.asarray(z @ self.class_embeddings.T)
+
+    def agreement(self, images, labels_multi_hot: np.ndarray) -> float:
+        return label_agreement(self.logits(images), labels_multi_hot)
+
+
 def dump_third_stage_data(
     model,
     variables,
@@ -89,10 +144,17 @@ class ThirdStageDataset(Dataset):
     def __len__(self):
         return len(self._index)
 
+    # Keep several dump files resident: a shuffled DataLoader revisits files
+    # constantly, and a single-slot cache degraded to one npz read PER SAMPLE
+    # on the 1-core host (O(N * files) I/O).
+    _CACHE_FILES = 8
+
     def _file(self, fi: int) -> Dict:
         if fi not in self._cache:
+            if len(self._cache) >= self._CACHE_FILES:
+                self._cache.pop(next(iter(self._cache)))
             with np.load(self.files[fi]) as z:
-                self._cache = {fi: {k: z[k] for k in z.files}}
+                self._cache[fi] = {k: z[k] for k in z.files}
         return self._cache[fi]
 
     def __getitem__(self, idx):
@@ -142,6 +204,7 @@ class ThirdStageModel:
         num_classes: int = len(WEATHER_CLASSES),
         lr: float = 1e-4,
         seed: int = 0,
+        clip_image_size: int = 224,
     ):
         import flax.linen as nn
         import optax
@@ -202,6 +265,35 @@ class ThirdStageModel:
             lambda params, images: self.heads.apply({"params": params}, images)
         )
 
+        # Eval-only nets are built lazily on first test() use (train-only
+        # runs and the dump loop never pay their init/compile cost).
+        self._clip_image_size = clip_image_size
+        self._clip_scorer = None
+        self._fid = None  # (variables, jitted feature fn)
+
+    @property
+    def clip_scorer(self) -> "CLIPZeroShot":
+        """CLIP-style zero-shot scorer (image content vs class-name text
+        embeddings) — NOT the fc_w head's own predictions."""
+        if self._clip_scorer is None:
+            self._clip_scorer = CLIPZeroShot(image_size=self._clip_image_size)
+        return self._clip_scorer
+
+    def _fid_feats(self, imgs):
+        """FID feature net: a DEDICATED seed-0 trunk, independent of `seed`
+        and of head training, so FID orderings are comparable across runs
+        (reference uses torchmetrics InceptionV3; weights not downloadable
+        here — the trunk is weight-importable and the FID math is exact
+        given features)."""
+        if self._fid is None:
+            fid_net = ResNet50()
+            variables = fid_net.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), pool=True
+            )
+            fn = jax.jit(lambda im: fid_net.apply(variables, im, pool=True))
+            self._fid = (variables, fn)
+        return self._fid[1](imgs)
+
     # ------------------------------------------------------------------ api
     def _batch_tensors(self, batch):
         latent = jnp.asarray(batch["latent"])
@@ -229,13 +321,14 @@ class ThirdStageModel:
     def test(self, loader: DataLoader, logdir: str, scaler_dir: Optional[str] = None):
         fid = FID()
         all_w_true, all_w_pred, flow_true, flow_pred, times = [], [], [], [], []
+        all_clip_logits = []
         for batch in loader:
             images, wlabel, flabel = self._batch_tensors(batch)
             real = jnp.asarray(batch["img"])
-            logits_w, pred_f, feats_fake = self._apply_heads(self.head_params, images)
-            _, _, feats_real = self._apply_heads(self.head_params, real)
-            fid.update(np.asarray(feats_real), real=True)
-            fid.update(np.asarray(feats_fake), real=False)
+            logits_w, pred_f, _ = self._apply_heads(self.head_params, images)
+            fid.update(np.asarray(self._fid_feats(real)), real=True)
+            fid.update(np.asarray(self._fid_feats(images)), real=False)
+            all_clip_logits.append(self.clip_scorer.logits(images))
             all_w_true.append(np.asarray(wlabel))
             all_w_pred.append(np.asarray(jax.nn.sigmoid(logits_w)))
             flow_true.append(np.asarray(flabel))
@@ -251,7 +344,13 @@ class ThirdStageModel:
         results = {
             "fid": fid.compute(),
             "weather_f1": multilabel_f1(w_true, w_pred),
-            "clip_agreement": label_agreement(w_pred, w_true),
+            # zero-shot: argmax over CLIP image-vs-class-text similarities
+            # (reference third_stage_model.py:774-789) — independent of fc_w
+            "clip_agreement": label_agreement(
+                np.concatenate(all_clip_logits), w_true
+            ),
+            # the head's own agreement, kept as a separate diagnostic
+            "head_agreement": label_agreement(w_pred, w_true),
             "flow_mse": float(np.mean((f_true - f_pred) ** 2)),
         }
 

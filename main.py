@@ -348,7 +348,10 @@ def main():
         dump_third_stage_data(
             model, host_vars, data, logdir, ts_rng2, split="test", max_batches=mb
         )
-        ThirdStageModel(model, host_vars).run(
+        # smoke runs (capped dumps) use a small CLIP scorer resolution to
+        # keep the eval-net compiles cheap; full runs keep CLIP's 224.
+        clip_size = 64 if mb is not None else 224
+        ThirdStageModel(model, host_vars, clip_image_size=clip_size).run(
             logdir, scaler_dir=train_ds_params.get("path")
         )
     return logdir, model, state

@@ -51,7 +51,8 @@ class _FakeDiffusion:
 
 
 def test_third_stage_train_and_test(dumps, tmp_path):
-    model = ThirdStageModel(_FakeDiffusion(), {"params": {}}, lr=1e-3)
+    model = ThirdStageModel(_FakeDiffusion(), {"params": {}}, lr=1e-3,
+                            clip_image_size=32)
     train_ds = ThirdStageDataset(os.path.join(dumps, "third_stage_data", "train"))
     before = jax.tree_util.tree_map(lambda x: x, model.head_params)
     model.train(DataLoader(train_ds, 2), epochs=1, log_every=1)
@@ -72,7 +73,7 @@ def test_third_stage_train_and_test(dumps, tmp_path):
         DataLoader(ThirdStageDataset(os.path.join(dumps, "third_stage_data", "test")), 2),
         str(tmp_path),
     )
-    for k in ("fid", "weather_f1", "clip_agreement", "flow_mse"):
+    for k in ("fid", "weather_f1", "clip_agreement", "head_agreement", "flow_mse"):
         assert k in results and np.isfinite(results[k]), k
     assert os.path.exists(tmp_path / "third_stage_flow.csv")
     assert os.path.exists(tmp_path / "third_stage_results.csv")
@@ -81,7 +82,52 @@ def test_third_stage_train_and_test(dumps, tmp_path):
 def test_run_clamps_batch_size_to_tiny_dumps(dumps):
     """run() must not silently drop the only (partial) batch when the dump
     is smaller than the default head batch size (drop_last loader)."""
-    model = ThirdStageModel(_FakeDiffusion(), {"params": {}}, lr=1e-3)
+    model = ThirdStageModel(_FakeDiffusion(), {"params": {}}, lr=1e-3,
+                            clip_image_size=32)
     results = model.run(dumps, batch_size=64)  # 4 samples << 64
     for k in ("fid", "weather_f1", "clip_agreement", "flow_mse"):
         assert k in results, k
+
+
+def test_clip_zero_shot_scorer_is_image_based_and_pinned():
+    """The zero-shot scorer scores IMAGE content against class-name text
+    embeddings (reference third_stage_model.py:774-789) — it is not the fc_w
+    head evaluated on itself, and its parameters are pinned (seed 0) so
+    scores are comparable across runs/seeds."""
+    from ealdm_tpu.third_stage import CLIPZeroShot, WEATHER_CLASSES
+
+    scorer = CLIPZeroShot(image_size=32)
+    rng = np.random.RandomState(0)
+    imgs = np.tanh(rng.randn(2, 32, 32, 3)).astype(np.float32)
+    logits = scorer.logits(imgs)
+    assert logits.shape == (2, len(WEATHER_CLASSES))
+    # different images -> different similarity profiles
+    assert not np.allclose(logits[0], logits[1])
+    # pinned: a fresh scorer reproduces the same logits exactly
+    logits2 = CLIPZeroShot(image_size=32).logits(imgs)
+    np.testing.assert_allclose(logits, logits2)
+    # and it disagrees with a head-on-itself scorer: a 'perfect' head gives
+    # agreement 1.0 by construction while the zero-shot score is image-driven
+    from ealdm_tpu.metrics import label_agreement
+
+    labels = np.zeros((2, len(WEATHER_CLASSES)), np.float32)
+    labels[0, 3] = 1.0
+    labels[1, 7] = 1.0
+    assert label_agreement(labels.copy(), labels) == 1.0  # head-on-itself
+    assert label_agreement(logits, labels) in (0.0, 0.5, 1.0)
+
+
+def test_fid_trunk_is_seed_independent():
+    """FID features must come from the pinned seed-0 trunk, not the per-run
+    head trunk, so FID orderings are comparable across runs."""
+    m1 = ThirdStageModel(_FakeDiffusion(), {"params": {}}, seed=1, clip_image_size=32)
+    m2 = ThirdStageModel(_FakeDiffusion(), {"params": {}}, seed=2, clip_image_size=32)
+    x = jnp.ones((1, 16, 16, 3)) * 0.3
+    np.testing.assert_allclose(
+        np.asarray(m1._fid_feats(x)), np.asarray(m2._fid_feats(x))
+    )
+    # while the head trunks DO differ across seeds
+    assert not np.allclose(
+        np.asarray(m1.head_params["trunk"]["conv1"]["kernel"]),
+        np.asarray(m2.head_params["trunk"]["conv1"]["kernel"]),
+    )
