@@ -124,7 +124,10 @@ LDM_ZOO: Dict[str, Dict[str, Any]] = {
     ),
     # super-resolution (concat LR latent)
     "bsr_sr": dict(
-        first_stage="vq-f4", cond="__is_first_stage__", ls=0.0015, le=0.0155,
+        # LR image passes through an Identity cond stage and is concatenated
+        # raw (models/ldm/bsr_sr/config.yaml: torch.nn.Identity, in_ch 3+3)
+        first_stage="vq-f4", cond={"target": "torch.nn.Identity"},
+        ls=0.0015, le=0.0155,
         conditioning_key="concat", cond_stage_key="LR_image",
         unet=_unet(image_size=64, in_channels=6, out_channels=3, model_channels=160,
                    attention_resolutions=[16, 8], channel_mult=[1, 2, 2, 4],
