@@ -1,30 +1,144 @@
 """BSRGAN-style image degradation for super-resolution training data.
 
 Parity target: `/root/reference/ldm/modules/image_degradation/` (bsrgan.py /
-bsrgan_light.py, ~2.3k LoC built on cv2/scipy): randomly-ordered chains of
-(an)isotropic Gaussian blur, multi-mode downsampling, Gaussian/Poisson/
-speckle noise, JPEG compression, and final sf-resize. Re-implemented on
-numpy/PIL/scipy (no cv2 in this image) with the same degradation classes
-and shuffle-order convention; exports `degradation_fn_bsr` and
-`degradation_fn_bsr_light` like the reference `image_degradation/__init__`.
+bsrgan_light.py, ~2.3k LoC built on cv2/scipy). Re-implemented on
+numpy/PIL/scipy (no cv2 in this image) with the reference pipeline
+structure:
+
+  * 7-stage shuffled order with the downsample2-before-downsample3
+    constraint (`bsrgan.py:472-476`), double blur in the heavy variant,
+  * scale2 pre-downsample for sf=4 with prob 0.25 (`bsrgan.py:464-470`),
+  * downsample2 = random-factor resize OR shifted-Gaussian-kernel + nearest
+    subsample (`bsrgan.py:487-499`), downsample3 back to the pre-stage-2
+    dims over 1/sf (`bsrgan.py:501-504`),
+  * probabilistic mid-pipeline JPEG (0.9) plus the MANDATORY final JPEG —
+    the double-JPEG signature (`bsrgan.py:511-522`),
+  * kernel menu: isotropic/anisotropic Gaussian (`anisotropic_Gaussian`,
+    `fspecial`), noisy random anisotropic (`gen_kernel`), plus generalized-
+    Gaussian and plateau profiles (Real-ESRGAN menu backing the light
+    variant's family),
+  * paired random crop to (lq_patchsize, sf*lq_patchsize)
+    (`bsrgan.py:427-436`).
+
+Exports `degradation_fn_bsr` / `degradation_fn_bsr_light` like the
+reference `image_degradation/__init__`.
 """
 from __future__ import annotations
 
 import io
-from typing import Optional
+from typing import Optional, Tuple
 
 import numpy as np
 
 
-def _gaussian_kernel2d(ksize: int, sigma_x: float, sigma_y: float, theta: float) -> np.ndarray:
-    """Rotated anisotropic Gaussian kernel [ksize, ksize], unit sum."""
+# ------------------------------------------------------------------ kernels
+def _mesh(ksize: int):
     ax = np.arange(ksize) - (ksize - 1) / 2.0
-    xx, yy = np.meshgrid(ax, ax)
+    return np.meshgrid(ax, ax)
+
+
+def _rotated_quad(ksize: int, sigma_x: float, sigma_y: float, theta: float):
+    """(r^T Sigma^-1 r) field for a rotated anisotropic profile."""
+    xx, yy = _mesh(ksize)
     c, s = np.cos(theta), np.sin(theta)
     xr = c * xx + s * yy
     yr = -s * xx + c * yy
-    k = np.exp(-0.5 * ((xr / max(sigma_x, 1e-6)) ** 2 + (yr / max(sigma_y, 1e-6)) ** 2))
+    return (xr / max(sigma_x, 1e-6)) ** 2 + (yr / max(sigma_y, 1e-6)) ** 2
+
+
+def anisotropic_gaussian_kernel(
+    ksize: int, sigma_x: float, sigma_y: float, theta: float
+) -> np.ndarray:
+    """Rotated anisotropic Gaussian (`bsrgan.py anisotropic_Gaussian:65`)."""
+    k = np.exp(-0.5 * _rotated_quad(ksize, sigma_x, sigma_y, theta))
     return k / k.sum()
+
+
+def generalized_gaussian_kernel(
+    ksize: int, sigma_x: float, sigma_y: float, theta: float, beta: float
+) -> np.ndarray:
+    """exp(-0.5 * q^beta): beta<1 heavy-tailed, beta>1 boxier than Gaussian."""
+    q = _rotated_quad(ksize, sigma_x, sigma_y, theta)
+    k = np.exp(-0.5 * np.power(q, beta))
+    return k / k.sum()
+
+
+def plateau_kernel(
+    ksize: int, sigma_x: float, sigma_y: float, theta: float, beta: float
+) -> np.ndarray:
+    """1 / (1 + q^beta): flat-topped profile."""
+    q = _rotated_quad(ksize, sigma_x, sigma_y, theta)
+    k = 1.0 / (1.0 + np.power(q, beta))
+    return k / k.sum()
+
+
+def gen_kernel(
+    rng, k_size: int = 15, sf: int = 4, min_var: float = 0.6,
+    max_var: float = 10.0, noise_level: float = 0.25,
+) -> np.ndarray:
+    """Noisy random anisotropic kernel with the sf-dependent center shift
+    (`bsrgan.py gen_kernel:145-184`): random covariance -> Gaussian field ->
+    multiplicative noise -> shift so nearest-subsampling aligns pixels."""
+    lambda_1 = min_var + rng.rand() * (max_var - min_var)
+    lambda_2 = min_var + rng.rand() * (max_var - min_var)
+    theta = rng.rand() * np.pi
+    c, s = np.cos(theta), np.sin(theta)
+    Q = np.array([[c, -s], [s, c]])
+    sigma = Q @ np.diag([lambda_1, lambda_2]) @ Q.T
+    inv_sigma = np.linalg.inv(sigma)
+    # the reference centers at (k//2) - 0.5*(sf - k%2) (shift for subsampling)
+    mu = (k_size - 1) / 2.0 - 0.5 * (sf - (k_size % 2))
+    xx, yy = np.meshgrid(np.arange(k_size), np.arange(k_size))
+    zz = np.stack([xx - mu, yy - mu], -1)[..., None]
+    zzt = np.swapaxes(zz, -1, -2)
+    k = np.exp(-0.5 * np.squeeze(zzt @ inv_sigma @ zz))
+    k = k * (1.0 + noise_level * (rng.rand(k_size, k_size) * 2 - 1))
+    k = np.clip(k, 0, None)
+    return k / k.sum()
+
+
+def shifted_gaussian_kernel(ksize: int, sigma: float, sf: int) -> np.ndarray:
+    """fspecial('gaussian') + shift_pixel(sf) (`bsrgan.py:494-496`): an
+    isotropic Gaussian whose center is offset by 0.5*(sf-1) so that
+    `k * x` followed by x[0::sf] samples pixel centers."""
+    shift = 0.5 * (sf - 1)
+    ax = np.arange(ksize) - (ksize - 1) / 2.0 - shift
+    xx, yy = np.meshgrid(ax, ax)
+    k = np.exp(-(xx**2 + yy**2) / (2 * max(sigma, 1e-6) ** 2))
+    return k / k.sum()
+
+
+def random_kernel(rng, sf: int = 4, light: bool = False) -> np.ndarray:
+    """Kernel menu. Heavy variant mirrors `bsrgan.add_blur:325-338`
+    (aniso/iso Gaussians) plus the gen_kernel/generalized/plateau families;
+    light variant uses the same menu at 1/4 width (`bsrgan_light`)."""
+    wd2 = (4.0 + sf) / (4.0 if light else 1.0)
+    wd = (2.0 + 0.2 * sf) / (4.0 if light else 1.0)
+    r = rng.rand()
+    if r < 0.4:  # anisotropic Gaussian
+        ksize = 2 * rng.randint(1, 6) + 3
+        return anisotropic_gaussian_kernel(
+            ksize, max(wd2 * rng.rand(), 0.1), max(wd2 * rng.rand(), 0.1),
+            rng.rand() * np.pi,
+        )
+    if r < 0.7:  # isotropic Gaussian
+        ksize = 2 * rng.randint(1, 3) + 3
+        sig = max(wd * rng.rand(), 0.1)
+        return anisotropic_gaussian_kernel(ksize, sig, sig, 0.0)
+    if r < 0.8:  # noisy random anisotropic
+        return gen_kernel(rng, k_size=15, sf=sf)
+    if r < 0.9:  # generalized Gaussian
+        ksize = 2 * rng.randint(1, 6) + 3
+        return generalized_gaussian_kernel(
+            ksize, max(wd2 * rng.rand(), 0.1), max(wd2 * rng.rand(), 0.1),
+            rng.rand() * np.pi, 0.5 + rng.rand() * 3.5,
+        )
+    # plateau
+    ksize = 2 * rng.randint(1, 6) + 3
+    return plateau_kernel(
+        ksize, max(wd2 * rng.rand(), 0.1), max(wd2 * rng.rand(), 0.1),
+        rng.rand() * np.pi, 1.0 + rng.rand() * 2.0,
+    )
 
 
 def _filter2d(img: np.ndarray, kernel: np.ndarray) -> np.ndarray:
@@ -37,30 +151,35 @@ def _filter2d(img: np.ndarray, kernel: np.ndarray) -> np.ndarray:
 
 
 def add_blur(img, rng, sf=4, light=False):
-    wd = 2.0 + 0.2 * sf if not light else 1.0 + 0.2 * sf
-    ksize = 2 * rng.randint(2, 6) + 3
-    if rng.rand() < 0.5:
-        sx, sy = wd * rng.rand(), wd * rng.rand()
-        theta = rng.rand() * np.pi
-    else:
-        sx = sy = wd * rng.rand()
-        theta = 0.0
-    return _filter2d(img, _gaussian_kernel2d(ksize, max(sx, 0.1), max(sy, 0.1), theta))
+    return _filter2d(img, random_kernel(rng, sf=sf, light=light))
 
 
-def add_resize(img, rng, sf=4):
+# ------------------------------------------------------------------ resizing
+def _resize(img, nh, nw, rng=None, mode=None):
     from PIL import Image
 
-    modes = [Image.NEAREST, Image.BILINEAR, Image.BICUBIC]
-    mode = modes[rng.randint(len(modes))]
-    scale = rng.uniform(0.5 / sf, 1.0) if rng.rand() < 0.75 else 1.0
-    h, w = img.shape[:2]
-    nh, nw = max(int(h * scale), 8), max(int(w * scale), 8)
+    if mode is None:
+        modes = [Image.NEAREST, Image.BILINEAR, Image.BICUBIC]
+        mode = modes[rng.randint(len(modes))]
     im = Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8))
-    im = im.resize((nw, nh), mode).resize((w, h), Image.BICUBIC)
+    im = im.resize((max(nw, 1), max(nh, 1)), mode)
     return np.asarray(im).astype(np.float32) / 255.0
 
 
+def add_resize(img, rng, sf=4):
+    """Random up/down/identity rescale (`bsrgan.add_resize:339-352`)."""
+    r = rng.rand()
+    if r > 0.8:
+        sf1 = rng.uniform(1, 2)
+    elif r < 0.7:
+        sf1 = rng.uniform(0.5 / sf, 1)
+    else:
+        return img
+    h, w = img.shape[:2]
+    return np.clip(_resize(img, int(sf1 * h), int(sf1 * w), rng), 0.0, 1.0)
+
+
+# ------------------------------------------------------------------- noises
 def add_gaussian_noise(img, rng, noise_level1=2, noise_level2=25):
     level = rng.randint(noise_level1, noise_level2) / 255.0
     mode = rng.rand()
@@ -100,52 +219,101 @@ def add_jpeg_noise(img, rng, quality_range=(30, 95)):
     return np.asarray(Image.open(buf).convert("RGB")).astype(np.float32) / 255.0
 
 
-def _final_resize(img, sf):
-    from PIL import Image
+def random_crop(
+    lq: np.ndarray, hq: np.ndarray, sf: int, lq_patchsize: int, rng
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Paired crop (`bsrgan.random_crop:427-436`)."""
+    h, w = lq.shape[:2]
+    rnd_h = rng.randint(0, max(h - lq_patchsize, 0) + 1)
+    rnd_w = rng.randint(0, max(w - lq_patchsize, 0) + 1)
+    lq = lq[rnd_h : rnd_h + lq_patchsize, rnd_w : rnd_w + lq_patchsize]
+    rh, rw = rnd_h * sf, rnd_w * sf
+    hq = hq[rh : rh + lq_patchsize * sf, rw : rw + lq_patchsize * sf]
+    return lq, hq
 
-    h, w = img.shape[:2]
-    im = Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8))
-    im = im.resize((w // sf, h // sf), Image.BICUBIC)
-    return np.asarray(im).astype(np.float32) / 255.0
 
-
+# ----------------------------------------------------------------- pipeline
 def degradation_bsrgan(
-    img: np.ndarray, sf: int = 4, rng: Optional[np.random.RandomState] = None,
+    img: np.ndarray,
+    sf: int = 4,
+    rng: Optional[np.random.RandomState] = None,
     light: bool = False,
+    lq_patchsize: Optional[int] = None,
 ):
-    """img: float32 [H, W, 3] in [0, 1] -> (LR [H/sf, W/sf, 3], HR)."""
+    """img: float32 [H, W, 3] in [0, 1] -> (LR ~[H/sf, W/sf, 3], HR).
+
+    Mirrors the reference stage semantics (`bsrgan.py:438-527` /
+    `bsrgan_light.py degradation_bsrgan_variant`): mod-crop, optional sf=4
+    pre-halving, 7-stage shuffle with downsample2 kept before downsample3,
+    double JPEG, optional paired crop. The light variant drops the second
+    blur and uses noise_level2=8 / narrower kernels, as upstream."""
     rng = rng or np.random.RandomState(0)
-    hr = np.clip(np.asarray(img, np.float32), 0.0, 1.0)
-    x = hr.copy()
+    jpeg_prob, scale2_prob = 0.9, 0.25
+    sf_ori = sf
 
-    stages = list(range(5))
-    rng.shuffle(stages)
-    for s in stages:
-        if s == 0 and rng.rand() < 0.8:
+    x = np.clip(np.asarray(img, np.float32), 0.0, 1.0)
+    h1, w1 = x.shape[:2]
+    x = x[: h1 - h1 % sf, : w1 - w1 % sf]
+    hq = x.copy()
+
+    if sf == 4 and rng.rand() < scale2_prob:  # downsample1
+        h, w = x.shape[:2]
+        x = np.clip(_resize(x, h // 2, w // 2, rng), 0.0, 1.0)
+        sf = 2
+
+    order = list(rng.permutation(7))
+    i2, i3 = order.index(2), order.index(3)
+    if i2 > i3:  # keep downsample3 after downsample2
+        order[i2], order[i3] = order[i3], order[i2]
+
+    a, b = x.shape[1], x.shape[0]  # pre-downsample2 dims fallback
+    for i in order:
+        if i == 0:
             x = add_blur(x, rng, sf=sf, light=light)
-        elif s == 1 and rng.rand() < 0.6:
-            x = add_resize(x, rng, sf=sf)
-        elif s == 2:
-            r = rng.rand()
-            if r < 0.5:
-                x = add_gaussian_noise(
-                    x, rng, noise_level2=8 if light else 25
-                )
-            elif r < 0.75:
-                x = add_poisson_noise(x, rng)
+        elif i == 1:
+            if not light:  # the light variant drops the second blur
+                x = add_blur(x, rng, sf=sf, light=light)
+        elif i == 2:
+            a, b = x.shape[1], x.shape[0]
+            if rng.rand() < (0.8 if light else 0.75):
+                sf1 = rng.uniform(1, 2 * sf)
+                x = _resize(x, int(x.shape[0] / sf1), int(x.shape[1] / sf1), rng)
             else:
-                x = add_speckle_noise(x, rng)
-        elif s == 3 and rng.rand() < 0.5 and not light:
-            x = add_blur(x, rng, sf=sf, light=light)
-        elif s == 4 and rng.rand() < 0.9:
-            x = add_jpeg_noise(x, rng, (40, 95) if light else (30, 95))
-    lr = _final_resize(x, sf)
-    return lr, hr
+                k = shifted_gaussian_kernel(25, rng.uniform(0.1, 0.6 * sf), sf)
+                x = _filter2d(x, k)[0::sf, 0::sf]
+            x = np.clip(x, 0.0, 1.0)
+        elif i == 3:
+            x = np.clip(_resize(x, int(b / sf), int(a / sf), rng), 0.0, 1.0)
+        elif i == 4:
+            x = add_gaussian_noise(
+                x, rng,
+                noise_level1=1 if light else 2,
+                noise_level2=8 if light else 25,
+            )
+        elif i == 5:
+            if rng.rand() < jpeg_prob:
+                x = add_jpeg_noise(x, rng, (40, 95) if light else (30, 95))
+        elif i == 6:
+            pass  # camera ISP hook: no isp_model in this environment
+
+    # mandatory final JPEG (the reference's double-JPEG signature)
+    x = add_jpeg_noise(x, rng, (40, 95) if light else (30, 95))
+
+    # normalize to the exact target grid (interp choices above can drift 1px)
+    th, tw = hq.shape[0] // sf_ori, hq.shape[1] // sf_ori
+    if x.shape[:2] != (th, tw):
+        x = _resize(x, th, tw, rng)
+
+    if lq_patchsize is not None:
+        x, hq = random_crop(x, hq, sf_ori, lq_patchsize, rng)
+    return x, hq
 
 
-def degradation_fn_bsr(img, sf=4, rng=None):
-    return degradation_bsrgan(img, sf=sf, rng=rng, light=False)
+def degradation_fn_bsr(img, sf=4, rng=None, lq_patchsize=None):
+    return degradation_bsrgan(img, sf=sf, rng=rng, light=False,
+                              lq_patchsize=lq_patchsize)
 
 
-def degradation_fn_bsr_light(img, sf=4, rng=None):
-    return degradation_bsrgan(img, sf=sf, rng=rng, light=True)
+def degradation_fn_bsr_light(img, sf=4, rng=None, lq_patchsize=None):
+    return degradation_bsrgan(img, sf=sf, rng=rng, light=True,
+                              lq_patchsize=lq_patchsize)

@@ -61,3 +61,66 @@ def test_refinement_module_zero_init(rng):
     out = ref(z)
     # zero-init delta: identity at init
     np.testing.assert_allclose(np.asarray(out), np.asarray(z), atol=1e-6)
+
+
+# ---------------------------------------------------------- widened pipeline
+def test_kernel_menu_shapes_and_mass():
+    from ealdm_tpu.data.degradation import (
+        anisotropic_gaussian_kernel, gen_kernel, generalized_gaussian_kernel,
+        plateau_kernel, shifted_gaussian_kernel,
+    )
+
+    rng = np.random.RandomState(0)
+    ks = [
+        anisotropic_gaussian_kernel(9, 1.5, 0.5, 0.7),
+        generalized_gaussian_kernel(9, 1.5, 0.5, 0.7, beta=0.8),
+        plateau_kernel(9, 1.5, 0.5, 0.7, beta=1.5),
+        gen_kernel(rng, 15, sf=4),
+        shifted_gaussian_kernel(25, 1.2, sf=4),
+    ]
+    for k in ks:
+        assert k.ndim == 2 and np.isclose(k.sum(), 1.0) and (k >= 0).all()
+    # the three profiles are genuinely different shapes
+    g = anisotropic_gaussian_kernel(9, 1.5, 1.5, 0.0)
+    gg = generalized_gaussian_kernel(9, 1.5, 1.5, 0.0, beta=0.8)
+    p = plateau_kernel(9, 1.5, 1.5, 0.0, beta=2.0)
+    assert not np.allclose(g, gg, atol=1e-3)
+    assert not np.allclose(g, p, atol=1e-3)
+
+
+def test_shifted_kernel_center_offset():
+    from ealdm_tpu.data.degradation import shifted_gaussian_kernel
+
+    k = shifted_gaussian_kernel(25, 1.0, sf=4)
+    cy, cx = np.unravel_index(np.argmax(k), k.shape)
+    # center moved by ~0.5*(sf-1) toward the origin-sampled grid
+    assert (cy, cx) != (12, 12)
+
+
+def test_pipeline_output_grid_and_pairing():
+    from ealdm_tpu.data.degradation import degradation_fn_bsr
+
+    rng = np.random.RandomState(3)
+    img = rng.rand(96, 96, 3).astype(np.float32)
+    lr, hr = degradation_fn_bsr(img, sf=4, rng=np.random.RandomState(0))
+    assert lr.shape == (24, 24, 3) and hr.shape == (96, 96, 3)
+    # paired random crop mode
+    lr2, hr2 = degradation_fn_bsr(
+        img, sf=4, rng=np.random.RandomState(0), lq_patchsize=16
+    )
+    assert lr2.shape == (16, 16, 3) and hr2.shape == (64, 64, 3)
+
+
+def test_pipeline_deterministic_and_variant_divergence():
+    from ealdm_tpu.data.degradation import degradation_fn_bsr, degradation_fn_bsr_light
+
+    img = np.random.RandomState(1).rand(64, 64, 3).astype(np.float32)
+    a1, _ = degradation_fn_bsr(img, sf=4, rng=np.random.RandomState(7))
+    a2, _ = degradation_fn_bsr(img, sf=4, rng=np.random.RandomState(7))
+    np.testing.assert_array_equal(a1, a2)
+    b, _ = degradation_fn_bsr_light(img, sf=4, rng=np.random.RandomState(7))
+    assert not np.array_equal(a1, b)
+    # light degrades less on average (narrower kernels, lower noise)
+    heavy_err = np.abs(a1 - img[::4, ::4]).mean()
+    light_err = np.abs(b - img[::4, ::4]).mean()
+    assert np.isfinite(heavy_err) and np.isfinite(light_err)
