@@ -4,6 +4,7 @@ from .torch_import import (
     export_state_dict,
     import_state_dict,
     load_torch_checkpoint,
+    text_transformer_key_map,
     unet_key_map,
     vae_key_map,
 )
@@ -12,6 +13,7 @@ __all__ = [
     "export_state_dict",
     "import_state_dict",
     "load_torch_checkpoint",
+    "text_transformer_key_map",
     "unet_key_map",
     "vae_key_map",
 ]

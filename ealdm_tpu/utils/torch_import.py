@@ -234,6 +234,37 @@ def vae_key_map(ddconfig: Dict, which: str = "both") -> List[Tuple[str, str, str
     return rules
 
 
+# -------------------------------------------------- text transformer key map
+def text_transformer_key_map(
+    depth: int, torch_root: str = "", flax_root: str = ""
+) -> List[Tuple[str, str, str]]:
+    """Key map for the BERTEmbedder text trunk: reference TransformerWrapper
+    + Encoder attn_layers (`x_transformer.py:370-641`, layers ModuleList of
+    [norm, block, residual] pairs: even index = attention, odd = feedforward)
+    onto models.text_transformer.TextTransformer."""
+    t = torch_root
+    f = flax_root
+    rules: List[Tuple[str, str, str]] = [
+        (f"{t}token_emb", f"{f}token_emb", "embed"),
+        (f"{t}pos_emb.emb", f"{f}pos_emb", "embed"),
+        (f"{t}norm", f"{f}norm", "norm"),
+    ]
+    for i in range(depth):
+        a = f"{t}attn_layers.layers.{2 * i}"
+        ff = f"{t}attn_layers.layers.{2 * i + 1}"
+        rules += [
+            (f"{a}.0", f"{f}layer_{i}_attn_norm", "norm"),
+            (f"{a}.1.to_q", f"{f}layer_{i}_attn/to_q", "linear"),
+            (f"{a}.1.to_k", f"{f}layer_{i}_attn/to_k", "linear"),
+            (f"{a}.1.to_v", f"{f}layer_{i}_attn/to_v", "linear"),
+            (f"{a}.1.to_out", f"{f}layer_{i}_attn/to_out", "linear"),
+            (f"{ff}.0", f"{f}layer_{i}_ff_norm", "norm"),
+            (f"{ff}.1.net.0.0", f"{f}layer_{i}_ff/ff_in", "linear"),
+            (f"{ff}.1.net.2", f"{f}layer_{i}_ff/ff_out", "linear"),
+        ]
+    return rules
+
+
 # ----------------------------------------------------------------- importer
 def import_state_dict(
     state_dict: Dict[str, np.ndarray],

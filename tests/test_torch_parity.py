@@ -334,3 +334,34 @@ def test_ddim_trajectory_parity_vs_reference_sampler(rng):
         x_T=jnp.asarray(x_T),
     )
     np.testing.assert_allclose(np.asarray(ours), ref, rtol=5e-4, atol=5e-4)
+
+
+# --------------------------------------------- BERT text trunk (x_transformer)
+def test_text_transformer_parity_vs_reference_x_transformer(rng):
+    """The BERTEmbedder trunk matches the reference's vendored lucidrains
+    TransformerWrapper+Encoder (x_transformer.py:370-641) with mapped
+    weights — upgrading the text path from shape contract to value parity."""
+    from ldm.modules.x_transformer import Encoder as TorchEncoderLayers
+    from ldm.modules.x_transformer import TransformerWrapper
+
+    from ealdm_tpu.models.text_transformer import TextTransformer
+    from ealdm_tpu.utils import text_transformer_key_map
+
+    vocab, seq, dim, depth = 96, 12, 64, 2
+    torch.manual_seed(0)
+    tm = TransformerWrapper(
+        num_tokens=vocab, max_seq_len=seq,
+        attn_layers=TorchEncoderLayers(dim=dim, depth=depth),
+    ).eval()
+
+    fm = TextTransformer(vocab_size=vocab, max_len=seq, dim=dim, depth=depth)
+    tokens = rng.randint(0, vocab, size=(2, seq)).astype(np.int64)
+    params = fm.init(jax.random.PRNGKey(0), jnp.asarray(tokens))["params"]
+    params, missing, _ = import_state_dict(
+        _sd_numpy(tm), text_transformer_key_map(depth), params
+    )
+    assert not missing, missing
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(tokens), return_embeddings=True).numpy()
+    ours = np.asarray(fm.apply({"params": params}, jnp.asarray(tokens)))
+    np.testing.assert_allclose(ours, ref, **TOL)
