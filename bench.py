@@ -144,6 +144,41 @@ def main(batch_size: int = 8, steps: int = 50, tiny: bool = False):
 
     fn = jax.jit(sample_program)
 
+    # XLA-reported FLOPs of the WHOLE program (cond tower + 50-step CFG
+    # scan + VQ decode) -> MFU against the chip's nominal bf16 peak.
+    device_kind = jax.devices()[0].device_kind
+    peak = {
+        "TPU v5 lite": 197e12, "TPU v5e": 197e12, "TPU v5": 459e12,
+        "TPU v4": 275e12, "TPU v6 lite": 918e12,
+    }.get(device_kind, 197e12)
+    def _flops(f, *args):
+        ca = jax.jit(f).lower(*args).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        return float(ca.get("flops", float("nan")))
+
+    try:
+        # XLA cost analysis counts a lax.scan body ONCE — tally the pieces:
+        # steps x (CFG-batched UNet eval) + 2 x cond tower + VQ decode.
+        x2 = jnp.zeros((2 * b, zres, zres, 4), jnp.float32)
+        t2 = jnp.zeros((2 * b,), jnp.int32)
+        c2 = jnp.zeros((2 * b, 4, 512), jnp.float32)
+        unet_flops = _flops(
+            lambda v, x, t, c: model.apply(v, x, t, c, method=model.apply_model),
+            variables, x2, t2, c2,
+        )
+        cond_flops = _flops(
+            lambda v, m: model.apply(v, m, True, method=model.get_learned_conditioning),
+            variables, batch["mixed"],
+        )
+        dec_flops = _flops(
+            lambda v, z: model.apply(v, z, method=model.decode_first_stage),
+            variables, jnp.zeros((b, zres, zres, 4), jnp.float32),
+        )
+        program_flops = steps * unet_flops + 2 * cond_flops + dec_flops
+    except Exception:
+        program_flops = float("nan")
+
     def sync(x):
         # block_until_ready does not actually block on the axon relay;
         # force a scalar readback (device queue is FIFO, so this fences
@@ -164,18 +199,27 @@ def main(batch_size: int = 8, steps: int = 50, tiny: bool = False):
     dt = (time.perf_counter() - t0) / iters
     img_per_s = b / dt
 
+    mfu = program_flops / dt / peak
     result = {
         "metric": f"{res}^2 DDIM-{steps} CFG images/sec/chip (stdiff cond + VQ decode)",
         "value": round(img_per_s, 3),
         "unit": "img/s",
         "vs_baseline": round(img_per_s / A100_REFERENCE_IMG_PER_S, 2),
+        "mfu": round(mfu, 3),
+        "tflops_per_image": round(program_flops / b / 1e12, 3),
+        "step_ms": round(dt / steps * 1e3, 2),
+        "device": device_kind,
     }
     print(json.dumps(result))
     import sys
 
     print(
         f"# batch={b} steps={steps} res={res} dt={dt*1e3:.1f}ms "
-        f"compile={compile_s:.1f}s out={tuple(out.shape)}",
+        f"compile={compile_s:.1f}s out={tuple(out.shape)} "
+        f"program_tflops={program_flops/1e12:.2f} "
+        f"mfu={mfu*100:.1f}% of {peak/1e12:.0f}TF/s nominal ({device_kind}); "
+        f"measured 8192^3 bf16 matmul peak on this relay ~150TF/s incl. "
+        f"~1.5ms/dispatch tunnel overhead",
         file=sys.stderr,
     )
 
