@@ -13,6 +13,7 @@ from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .models.ddpm import LatentDiffusion
 from .ops.schedules import DDIMSchedule, DiffusionSchedule
@@ -124,6 +125,29 @@ def log_images(
     if model.cond_stage_key == "mixed" and "mixed" in batch:
         mixed = {k: v[:n] for k, v in batch["mixed"].items()}
         out["conditioning"] = mixed["img"]
+    cond_ctx = None
+    if (
+        mixed is None
+        and model.conditioning_key is not None
+        and model.cond_stage_key in batch
+    ):
+        # generic conditioning (class_label / caption tokens / bbox tokens)
+        cond_ctx = model.apply(
+            variables, batch[model.cond_stage_key][:n],
+            method=model.get_learned_conditioning,
+        )
+    if model.cond_stage_key == "coordinates_bbox" and "coordinates_bbox" in batch:
+        # layout plot (reference Layout2ImgDiffusion.log_images "bbox_image",
+        # ddpm.py:1480-1493): rasterize the tokenized boxes
+        from .data.layout import BBoxTokenizer, render_layout
+
+        tok = BBoxTokenizer()
+        out["bbox_image"] = jnp.stack([
+            jnp.asarray(
+                render_layout(tok.decode(np.asarray(ids)), x.shape[1])
+            )
+            for ids in batch["coordinates_bbox"][:n]
+        ])
 
     # diffusion row: q_sample of the first rows at increasing t
     # (reference log_images `diffusion_row`)
@@ -146,7 +170,8 @@ def log_images(
     if sample:
         imgs, zs = sample_images(
             model, variables, rngs[1], n, latent_shape,
-            steps=steps, eta=eta, mixed=mixed,
+            steps=steps, eta=eta, mixed=mixed, cond=cond_ctx,
+            guidance_scale=None if mixed is not None else 1.0,
         )
         out["samples"] = imgs
         if quantize_denoised:
@@ -161,13 +186,17 @@ def log_images(
             mask = mask.at[:, h // 4: 3 * h // 4, w // 4: 3 * w // 4].set(0.0)
             imgs_inp, _ = sample_images(
                 model, variables, rngs[2], n, latent_shape, steps=steps, eta=eta,
-                mixed=mixed, mask=mask, x0=z,
+                mixed=mixed, cond=cond_ctx,
+                guidance_scale=None if mixed is not None else 1.0,
+                mask=mask, x0=z,
             )
             out["samples_inpainting"] = imgs_inp
             out["mask"] = mask
             imgs_outp, _ = sample_images(
                 model, variables, rngs[3], n, latent_shape, steps=steps, eta=eta,
-                mixed=mixed, mask=1.0 - mask, x0=z,
+                mixed=mixed, cond=cond_ctx,
+                guidance_scale=None if mixed is not None else 1.0,
+                mask=1.0 - mask, x0=z,
             )
             out["samples_outpainting"] = imgs_outp
         if plot_progressive_rows:

@@ -144,3 +144,61 @@ def test_zoo_layout2img_spec_traces():
     shapes = jax.eval_shape(init_fn, jax.random.PRNGKey(0))
     n = sum(int(np.prod(s.shape)) for s in jax.tree_util.tree_leaves(shapes))
     assert n > 100e6  # reference layout2img is a ~300M-param class
+
+
+def test_log_images_bbox_plot_and_conditioned_samples():
+    """log_images for a layout model renders the bbox_image plot and feeds
+    the bbox context into the sample pass (reference Layout2ImgDiffusion
+    log_images, ddpm.py:1480-1493)."""
+    from ealdm_tpu.config import model_from_config
+    from ealdm_tpu.inference import log_images
+
+    cfg = {
+        "target": "ldm.models.diffusion.ddpm.Layout2ImgDiffusion",
+        "params": {
+            "timesteps": 20, "cond_stage_key": "coordinates_bbox",
+            "conditioning_key": "crossattn", "cond_stage_trainable": True,
+            "unet_config": {
+                "target": "x.UNetModel",
+                "params": dict(
+                    image_size=8, in_channels=4, out_channels=4,
+                    model_channels=16, attention_resolutions=[1],
+                    num_res_blocks=1, channel_mult=[1], num_head_channels=8,
+                    use_spatial_transformer=True, transformer_depth=1,
+                    context_dim=32,
+                ),
+            },
+            "first_stage_config": {
+                "target": "ldm.models.autoencoder.VQModelInterface",
+                "params": {
+                    "embed_dim": 4, "n_embed": 32,
+                    "ddconfig": dict(
+                        double_z=False, z_channels=4, resolution=16,
+                        in_channels=3, out_ch=3, ch=8, ch_mult=[1, 2],
+                        num_res_blocks=1, attn_resolutions=[], dropout=0.0,
+                    ),
+                },
+            },
+            "cond_stage_config": {
+                "target": "ldm.modules.encoders.modules.BERTEmbedder",
+                "params": {"n_embed": 32, "n_layer": 1, "vocab_size": 8192,
+                           "max_seq_len": 92},
+            },
+        },
+    }
+    model, _ = model_from_config(cfg)
+    ds = SyntheticLayoutDataset(length=2, size=16)
+    batch = {
+        "img": jnp.stack([jnp.asarray(ds[i]["image"]) for i in range(2)]),
+        "coordinates_bbox": jnp.stack(
+            [jnp.asarray(ds[i]["coordinates_bbox"]) for i in range(2)]
+        ),
+    }
+    rng = jax.random.PRNGKey(0)
+    variables = model.init({"params": rng, "dropout": rng}, batch, rng,
+                           method=model.full_init)
+    logs = log_images(model, variables, batch, rng, n=2, steps=2,
+                      quantize_denoised=False)
+    assert logs["bbox_image"].shape == (2, 16, 16, 3)
+    assert logs["samples"].shape == (2, 16, 16, 3)
+    assert np.isfinite(np.asarray(logs["samples"])).all()
