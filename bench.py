@@ -21,12 +21,16 @@ import time
 A100_REFERENCE_IMG_PER_S = 3.0  # documented estimate, see module docstring
 
 
-def main(batch_size: int = 8, steps: int = 50, tiny: bool = False):
+def main(batch_size: int = 8, steps: int = 50, tiny: bool = False,
+         unet_format: str = "HWNC", norm_impl: str = "xla"):
     import jax
     import jax.numpy as jnp
     from ealdm_tpu.utils.cache import enable_compile_cache
     enable_compile_cache()
     import numpy as np
+
+    from ealdm_tpu.ops.norms import set_norm_impl
+    set_norm_impl(norm_impl)
 
     from ealdm_tpu.models.ddpm import LatentDiffusion
     from ealdm_tpu.ops.schedules import DDIMSchedule, DiffusionSchedule
@@ -51,6 +55,7 @@ def main(batch_size: int = 8, steps: int = 50, tiny: bool = False):
             attention_resolutions=[4, 2, 1], num_res_blocks=2,
             channel_mult=[1, 2, 4], num_head_channels=32,
             use_spatial_transformer=True, transformer_depth=1, context_dim=512,
+            data_format=unet_format,
         )
 
     first_stage = {
@@ -231,5 +236,7 @@ if __name__ == "__main__":
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--unet-format", default="HWNC", choices=["HWNC", "NHWC"])
+    p.add_argument("--norm-impl", default="xla", choices=["pallas", "xla"])
     a = p.parse_args()
-    main(a.batch_size, a.steps, a.tiny)
+    main(a.batch_size, a.steps, a.tiny, a.unet_format, a.norm_impl)

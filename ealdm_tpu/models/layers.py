@@ -33,22 +33,57 @@ Dtype = jnp.dtype
 FLASH_MIN_TOKENS = 256
 
 
-def conv3x3(features, name=None, dtype=jnp.float32, zero_init=False):
-    kwargs = {}
-    if zero_init:
-        kwargs = dict(
-            kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros
+class Conv2D(nn.Module):
+    """2-D convolution over NHWC or HWNC input.
+
+    Parameter tree ("kernel" [kh, kw, cin, cout] HWIO + "bias" [cout]) is
+    identical to flax nn.Conv, so checkpoints and the torch key maps are
+    layout-independent. HWNC is the TPU-native form: XLA's conv layout
+    assignment puts (N, C) on the (sublane, lane) tile either way, but a
+    logically-HWNC graph never needs relayout copies at kernel/reshape
+    boundaries (see ops/group_norm_pallas.py).
+    """
+
+    features: int
+    kernel_size: tuple = (3, 3)
+    strides: tuple = (1, 1)
+    padding: object = "SAME"
+    zero_init: bool = False
+    data_format: str = "NHWC"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kh, kw = self.kernel_size
+        init = nn.initializers.zeros if self.zero_init else (
+            nn.initializers.lecun_normal()
         )
-    return nn.Conv(features, (3, 3), padding=1, name=name, dtype=dtype, **kwargs)
+        kernel = self.param("kernel", init, (kh, kw, cin, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = [(pad, pad), (pad, pad)]
+        dn = ("NHWC", "HWIO", "NHWC") if self.data_format == "NHWC" else (
+            "HWNC", "HWIO", "HWNC")
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            window_strides=self.strides, padding=pad,
+            dimension_numbers=dn,
+        )
+        return y + bias.astype(self.dtype)
 
 
-def conv1x1(features, name=None, dtype=jnp.float32, zero_init=False):
-    kwargs = {}
-    if zero_init:
-        kwargs = dict(
-            kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros
-        )
-    return nn.Conv(features, (1, 1), name=name, dtype=dtype, **kwargs)
+def conv3x3(features, name=None, dtype=jnp.float32, zero_init=False,
+            data_format="NHWC"):
+    return Conv2D(features, (3, 3), padding=1, name=name, dtype=dtype,
+                  zero_init=zero_init, data_format=data_format)
+
+
+def conv1x1(features, name=None, dtype=jnp.float32, zero_init=False,
+            data_format="NHWC"):
+    return Conv2D(features, (1, 1), name=name, dtype=dtype,
+                  zero_init=zero_init, data_format=data_format)
 
 
 class LayerNorm(nn.Module):
@@ -71,14 +106,16 @@ class GroupNorm32(nn.Module):
 
     num_groups: int = 32
     eps: float = 1e-5
+    data_format: str = "NHWC"
 
     @nn.compact
-    def __call__(self, x, act: Optional[Callable] = None):
+    def __call__(self, x, act: Optional[Callable] = None, pre_bias=None):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
         return group_norm(
-            x, scale, bias, num_groups=self.num_groups, eps=self.eps, act=act
+            x, scale, bias, num_groups=self.num_groups, eps=self.eps, act=act,
+            data_format=self.data_format, pre_bias=pre_bias,
         )
 
 
@@ -88,13 +125,16 @@ class Upsample(nn.Module):
     out_channels: Optional[int] = None
     use_conv: bool = True
     dtype: Dtype = jnp.float32
+    data_format: str = "NHWC"
 
     @nn.compact
     def __call__(self, x):
-        n, h, w, c = x.shape
-        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        c = x.shape[-1]
+        ax = (1, 2) if self.data_format == "NHWC" else (0, 1)
+        x = jnp.repeat(jnp.repeat(x, 2, axis=ax[0]), 2, axis=ax[1])
         if self.use_conv:
-            x = conv3x3(self.out_channels or c, name="conv", dtype=self.dtype)(x)
+            x = conv3x3(self.out_channels or c, name="conv", dtype=self.dtype,
+                        data_format=self.data_format)(x)
         return x
 
 
@@ -104,21 +144,25 @@ class Downsample(nn.Module):
     out_channels: Optional[int] = None
     use_conv: bool = True
     dtype: Dtype = jnp.float32
+    data_format: str = "NHWC"
 
     @nn.compact
     def __call__(self, x):
         c = x.shape[-1]
         if self.use_conv:
-            return nn.Conv(
-                self.out_channels or c,
-                (3, 3),
-                strides=(2, 2),
-                padding=1,
-                name="op",
-                dtype=self.dtype,
+            return Conv2D(
+                self.out_channels or c, (3, 3), strides=(2, 2), padding=1,
+                name="op", dtype=self.dtype, data_format=self.data_format,
             )(x)
         assert self.out_channels in (None, c)
-        return nn.avg_pool(x, (2, 2), strides=(2, 2))
+        ax = (1, 2) if self.data_format == "NHWC" else (0, 1)
+        window = [1, 1, 1, 1]
+        window[ax[0]] = window[ax[1]] = 2
+        summed = jax.lax.reduce_window(
+            x, jnp.zeros((), x.dtype), jax.lax.add,
+            tuple(window), tuple(window), "VALID",
+        )
+        return summed / jnp.asarray(4, x.dtype)
 
 
 class ResBlock(nn.Module):
@@ -131,42 +175,52 @@ class ResBlock(nn.Module):
     up: bool = False
     down: bool = False
     dtype: Dtype = jnp.float32
+    data_format: str = "NHWC"
 
     @nn.compact
     def __call__(self, x, emb, *, deterministic: bool = True):
         c = x.shape[-1]
+        fmt = self.data_format
         out_ch = self.out_channels or c
 
-        h = GroupNorm32(name="in_norm")(x, act=silu)
+        h = GroupNorm32(name="in_norm", data_format=fmt)(x, act=silu)
         if self.up or self.down:
-            resample = Upsample(use_conv=False) if self.up else Downsample(use_conv=False)
+            resample = (
+                Upsample(use_conv=False, data_format=fmt)
+                if self.up else Downsample(use_conv=False, data_format=fmt)
+            )
             h = resample(h)
             x = resample(x)
-        h = conv3x3(out_ch, name="in_conv", dtype=self.dtype)(h)
+        h = conv3x3(out_ch, name="in_conv", dtype=self.dtype, data_format=fmt)(h)
 
         emb_out = nn.Dense(
             2 * out_ch if self.use_scale_shift_norm else out_ch,
             name="emb_proj",
             dtype=self.dtype,
-        )(silu(emb))
-        emb_out = emb_out[:, None, None, :]
+        )(silu(emb))  # [N, (2*)out_ch]
 
         if self.use_scale_shift_norm:
-            scale, shift = jnp.split(emb_out, 2, axis=-1)
-            h = GroupNorm32(name="out_norm")(h) * (1 + scale) + shift
+            ss = (
+                emb_out[:, None, None, :] if fmt == "NHWC" else emb_out
+            )
+            scale, shift = jnp.split(ss, 2, axis=-1)
+            h = GroupNorm32(name="out_norm", data_format=fmt)(h) * (1 + scale) + shift
             h = silu(h)
         else:
-            h = h + emb_out.astype(h.dtype)
-            h = GroupNorm32(name="out_norm")(h, act=silu)
+            # the embedding add is fused into the norm's statistics pass
+            h = GroupNorm32(name="out_norm", data_format=fmt)(
+                h, act=silu, pre_bias=emb_out.astype(h.dtype)
+            )
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        h = conv3x3(out_ch, name="out_conv", dtype=self.dtype, zero_init=True)(h)
+        h = conv3x3(out_ch, name="out_conv", dtype=self.dtype, zero_init=True,
+                    data_format=fmt)(h)
 
         if out_ch == c:
             skip = x
         elif self.use_conv_skip:
-            skip = conv3x3(out_ch, name="skip", dtype=self.dtype)(x)
+            skip = conv3x3(out_ch, name="skip", dtype=self.dtype, data_format=fmt)(x)
         else:
-            skip = conv1x1(out_ch, name="skip", dtype=self.dtype)(x)
+            skip = conv1x1(out_ch, name="skip", dtype=self.dtype, data_format=fmt)(x)
         return skip + h
 
 
@@ -281,22 +335,31 @@ class BasicTransformerBlock(nn.Module):
 
 
 class SpatialTransformer(nn.Module):
-    """Project NHWC features to tokens, run transformer blocks, project back."""
+    """Project spatial features to tokens, run transformer blocks, project
+    back. NHWC or HWNC input (tokens are [N, H*W, C] either way)."""
 
     heads: int
     dim_head: int
     depth: int = 1
     dropout: float = 0.0
     dtype: Dtype = jnp.float32
+    data_format: str = "NHWC"
 
     @nn.compact
     def __call__(self, x, context=None, *, deterministic: bool = True):
-        b, h, w, c = x.shape
+        fmt = self.data_format
+        if fmt == "NHWC":
+            b, h, w, c = x.shape
+        else:
+            h, w, b, c = x.shape
         inner = self.heads * self.dim_head
         x_in = x
-        x = GroupNorm32(eps=1e-6, name="norm")(x)
-        x = conv1x1(inner, name="proj_in", dtype=self.dtype)(x)
-        x = x.reshape(b, h * w, inner)
+        x = GroupNorm32(eps=1e-6, name="norm", data_format=fmt)(x)
+        x = conv1x1(inner, name="proj_in", dtype=self.dtype, data_format=fmt)(x)
+        if fmt == "NHWC":
+            x = x.reshape(b, h * w, inner)
+        else:
+            x = x.reshape(h * w, b, inner).transpose(1, 0, 2)
         for i in range(self.depth):
             x = BasicTransformerBlock(
                 self.heads,
@@ -305,8 +368,12 @@ class SpatialTransformer(nn.Module):
                 name=f"block_{i}",
                 dtype=self.dtype,
             )(x, context=context, deterministic=deterministic)
-        x = x.reshape(b, h, w, inner)
-        x = conv1x1(c, name="proj_out", dtype=self.dtype, zero_init=True)(x)
+        if fmt == "NHWC":
+            x = x.reshape(b, h, w, inner)
+        else:
+            x = x.transpose(1, 0, 2).reshape(h, w, b, inner)
+        x = conv1x1(c, name="proj_out", dtype=self.dtype, zero_init=True,
+                    data_format=fmt)(x)
         return x + x_in
 
 
@@ -315,14 +382,23 @@ class AttentionBlock(nn.Module):
 
     num_heads: int = 1
     dtype: Dtype = jnp.float32
+    data_format: str = "NHWC"
 
     @nn.compact
     def __call__(self, x):
-        b, h, w, c = x.shape
+        fmt = self.data_format
+        if fmt == "NHWC":
+            b, h, w, c = x.shape
+        else:
+            h, w, b, c = x.shape
         assert c % self.num_heads == 0
         head_dim = c // self.num_heads
         n = h * w
-        y = GroupNorm32(name="norm")(x).reshape(b, n, c)
+        y = GroupNorm32(name="norm", data_format=fmt)(x)
+        if fmt == "NHWC":
+            y = y.reshape(b, n, c)
+        else:
+            y = y.reshape(n, b, c).transpose(1, 0, 2)
         qkv = nn.Dense(3 * c, name="qkv", dtype=self.dtype)(y)
         # legacy layout: heads split before qkv split: [B, N, H, 3*hd]
         qkv = qkv.reshape(b, n, self.num_heads, 3 * head_dim)
@@ -339,4 +415,6 @@ class AttentionBlock(nn.Module):
             kernel_init=nn.initializers.zeros,
             bias_init=nn.initializers.zeros,
         )(out)
-        return x + out.reshape(b, h, w, c)
+        if fmt == "NHWC":
+            return x + out.reshape(b, h, w, c)
+        return x + out.transpose(1, 0, 2).reshape(h, w, b, c)

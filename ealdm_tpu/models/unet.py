@@ -76,6 +76,11 @@ class UNetModel(nn.Module):
     context_dim: Optional[int] = None
     legacy: bool = True
     dtype: jnp.dtype = jnp.float32
+    # Internal compute layout. "HWNC" is TPU-native: it matches the layout
+    # XLA assigns to diffusion-UNet conv activations anyway ({3,0,2,1} on
+    # NHWC == HWNC-major), so the fused Pallas GroupNorm and every
+    # reshape/residual boundary run copy-free. I/O stays NHWC.
+    data_format: str = "HWNC"
 
     @nn.compact
     def __call__(self, x, timesteps, context=None, y=None, *, deterministic=True):
@@ -112,8 +117,10 @@ class UNetModel(nn.Module):
                     dropout=self.dropout,
                     name=name,
                     dtype=self.dtype,
+                    data_format=self.data_format,
                 )
-            return AttentionBlock(num_heads=heads, name=name, dtype=self.dtype)
+            return AttentionBlock(num_heads=heads, name=name, dtype=self.dtype,
+                                  data_format=self.data_format)
 
         def res(ch_out: int, name: str, up=False, down=False):
             return ResBlock(
@@ -124,10 +131,14 @@ class UNetModel(nn.Module):
                 down=down,
                 name=name,
                 dtype=self.dtype,
+                data_format=self.data_format,
             )
 
         h = x.astype(self.dtype)
-        h = conv3x3(self.model_channels, name="conv_in", dtype=self.dtype)(h)
+        if self.data_format == "HWNC":
+            h = jnp.transpose(h, (1, 2, 0, 3))
+        h = conv3x3(self.model_channels, name="conv_in", dtype=self.dtype,
+                    data_format=self.data_format)(h)
         hs = [h]
         ch = self.model_channels
         ds = 1
@@ -154,6 +165,7 @@ class UNetModel(nn.Module):
                         use_conv=self.conv_resample,
                         name=f"down_{level}_down",
                         dtype=self.dtype,
+                        data_format=self.data_format,
                     )(h)
                 hs.append(h)
                 ds *= 2
@@ -191,12 +203,16 @@ class UNetModel(nn.Module):
                             use_conv=self.conv_resample,
                             name=f"up_{level}_up",
                             dtype=self.dtype,
+                            data_format=self.data_format,
                         )(h)
                     ds //= 2
         assert not hs
 
-        h = GroupNorm32(name="out_norm")(h, act=silu)
-        h = conv3x3(self.out_channels, name="out_conv", dtype=self.dtype, zero_init=True)(h)
+        h = GroupNorm32(name="out_norm", data_format=self.data_format)(h, act=silu)
+        h = conv3x3(self.out_channels, name="out_conv", dtype=self.dtype,
+                    zero_init=True, data_format=self.data_format)(h)
+        if self.data_format == "HWNC":
+            h = jnp.transpose(h, (2, 0, 1, 3))
         return h.astype(jnp.float32)
 
 

@@ -6,12 +6,18 @@ GroupNorm used by the VAE/attention stacks (`model.py:38-40`,
 `attention.py:74`), and `nn.InstanceNorm2d` as used by STDiff AdaIN
 (`/root/reference/STDiff/models.py:362-377`, affine=False, eps=1e-5).
 
-All are written as plain jnp on NHWC tensors: XLA fuses the normalize +
-affine + (optional) SiLU chain into neighbouring convs, which is the
-speed-of-light formulation — the moment-reduction is HBM-bound and fusion
-removes the extra round trip that a separate kernel would keep.
+Two implementations:
+  * plain jnp (always available; the only one XLA:CPU sees), relying on
+    XLA fusion of the normalize + affine + SiLU chain;
+  * a fused single-pass Pallas kernel (`ops/group_norm_pallas.py`) used on
+    TPU for eligible NHWC shapes — profiling the 256^2 DDIM-50 pipeline
+    showed XLA's per-GroupNorm reduce chains cost a fixed ~85us/reduce on
+    the UNet's {3,0,2,1} activations (~4 ms of a 14 ms step), which the
+    one-read-one-write kernel removes.
 """
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -40,6 +46,30 @@ def _stats_dtype(x):
     return x.dtype if _NORM_STATS_DTYPE == "native" else jnp.float32
 
 
+# GroupNorm implementation: "pallas" (fused kernel on TPU for HWNC shapes
+# where eligible, jnp elsewhere) or "xla" (always jnp). Default is "xla":
+# on-chip profiling of the 256^2 DDIM-50 pipeline showed XLA's reduce
+# chains largely hide under conv time (op streams overlap ~2x), while the
+# pallas custom-calls act as scheduling barriers — measured -0.4 img/s end
+# to end despite 3-5x faster per-op times. The kernel remains available
+# (set_norm_impl) for op-count-bound programs, e.g. small-batch training.
+_NORM_IMPL = "xla"
+
+
+def set_norm_impl(mode: str):
+    """mode: 'pallas' (default; fused TPU kernel where eligible) or 'xla'."""
+    global _NORM_IMPL
+    assert mode in ("pallas", "xla")
+    _NORM_IMPL = mode
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform not in ("cpu", "gpu")
+    except Exception:
+        return False
+
+
 def resolve_num_groups(c: int, num_groups: int) -> int:
     """Largest group count <= num_groups that divides c (tiny-channel safe)."""
     g = min(num_groups, c)
@@ -48,18 +78,63 @@ def resolve_num_groups(c: int, num_groups: int) -> int:
     return g
 
 
-def group_norm(x, scale, bias, num_groups=32, eps=1e-5, act=None):
-    """GroupNorm over NHWC input; stats in fp32 (or native, see
-    set_norm_stats_precision); optional fused act."""
-    in_dtype = x.dtype
-    n, h, w, c = x.shape
+def group_norm(x, scale, bias, num_groups=32, eps=1e-5, act=None,
+               data_format: str = "NHWC", pre_bias=None):
+    """GroupNorm over NHWC or HWNC input; stats in fp32 (or native, see
+    set_norm_stats_precision); optional fused act; optional per-(sample,
+    channel) `pre_bias` [N, C] added to x before the statistics (the
+    ResBlock timestep-embedding injection, reference openaimodel.py:254)."""
+    assert data_format in ("NHWC", "HWNC")
+    c = x.shape[-1]
     num_groups = resolve_num_groups(c, num_groups)
-    sd = _stats_dtype(x)
-    xf = x.astype(sd).reshape(n, h, w, num_groups, c // num_groups)
-    mean = jnp.mean(xf, axis=(1, 2, 4), keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=(1, 2, 4), keepdims=True)
+
+    if (
+        _NORM_IMPL == "pallas"
+        and data_format == "HWNC"
+        and act in (None, silu)
+        and _on_tpu()
+    ):
+        from .group_norm_pallas import supports_fused_group_norm
+
+        h_, w_, n_, _ = x.shape
+        if supports_fused_group_norm((n_, h_, w_, c), num_groups):
+            return _group_norm_pallas(
+                x,
+                jnp.ones((c,), jnp.float32) if scale is None
+                else scale.astype(jnp.float32),
+                jnp.zeros((c,), jnp.float32) if bias is None
+                else bias.astype(jnp.float32),
+                pre_bias,
+                num_groups, eps, act is silu,
+            )
+
+    return _group_norm_jnp(
+        x, scale, bias, num_groups, eps, act, data_format, pre_bias,
+        _stats_dtype(x),
+    )
+
+
+def _group_norm_jnp(x, scale, bias, num_groups, eps, act, data_format,
+                    pre_bias, sd):
+    in_dtype = x.dtype
+    c = x.shape[-1]
+    if data_format == "NHWC":
+        n, h, w, _ = x.shape
+        spatial_axes = (1, 2, 4)
+        group_shape = (n, h, w, num_groups, c // num_groups)
+    else:  # HWNC
+        h, w, n, _ = x.shape
+        spatial_axes = (0, 1, 4)
+        group_shape = (h, w, n, num_groups, c // num_groups)
+    xf = x.astype(sd)
+    if pre_bias is not None:
+        pb = pre_bias.astype(sd)
+        xf = xf + (pb[:, None, None, :] if data_format == "NHWC" else pb)
+    xf = xf.reshape(group_shape)
+    mean = jnp.mean(xf, axis=spatial_axes, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=spatial_axes, keepdims=True)
     xf = (xf - mean) * jax.lax.rsqrt(var + eps)
-    xf = xf.reshape(n, h, w, c)
+    xf = xf.reshape(x.shape)
     if scale is not None:
         xf = xf * scale.astype(sd)
     if bias is not None:
@@ -67,6 +142,41 @@ def group_norm(x, scale, bias, num_groups=32, eps=1e-5, act=None):
     if act is not None:
         xf = act(xf)
     return xf.astype(in_dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _group_norm_pallas(x, scale, bias, pre_bias, num_groups, eps, fuse_silu):
+    from .group_norm_pallas import group_norm_hwnc
+
+    return group_norm_hwnc(
+        x, scale, bias, num_groups, eps, fuse_silu=fuse_silu,
+        pre_bias=pre_bias,
+    )
+
+
+def _group_norm_pallas_fwd(x, scale, bias, pre_bias, num_groups, eps, fuse_silu):
+    y = _group_norm_pallas(x, scale, bias, pre_bias, num_groups, eps, fuse_silu)
+    return y, (x, scale, bias, pre_bias)
+
+
+def _group_norm_pallas_bwd(num_groups, eps, fuse_silu, res, g):
+    """Rematerialized backward through the plain-jnp fp32 formulation."""
+    x, scale, bias, pre_bias = res
+    act = silu if fuse_silu else None
+    if pre_bias is None:
+        f = lambda x_, s_, b_: _group_norm_jnp(
+            x_, s_, b_, num_groups, eps, act, "HWNC", None, jnp.float32
+        )
+        _, vjp = jax.vjp(f, x, scale, bias)
+        return (*vjp(g), None)
+    f = lambda x_, s_, b_, p_: _group_norm_jnp(
+        x_, s_, b_, num_groups, eps, act, "HWNC", p_, jnp.float32
+    )
+    _, vjp = jax.vjp(f, x, scale, bias, pre_bias)
+    return vjp(g)
+
+
+_group_norm_pallas.defvjp(_group_norm_pallas_fwd, _group_norm_pallas_bwd)
 
 
 def instance_norm_2d(x, eps=1e-5):
