@@ -130,13 +130,8 @@ def main(batch_size: int = 8, steps: int = 50, tiny: bool = False,
 
     def sample_program(variables, mixed, rng):
         """cond tower -> DDIM scan (CFG batched) -> VQ decode, one program."""
-        c_pos = model.apply(
-            variables, mixed, True, method=model.get_learned_conditioning
-        )
-        neg = dict(mixed)
-        neg["img"] = mixed["img_random"]
-        c_neg = model.apply(
-            variables, neg, False, method=model.get_learned_conditioning
+        c_neg, c_pos = model.apply(
+            variables, mixed, method=model.get_learned_conditioning_pair
         )
 
         def eps_fn(x, t, ctx):
@@ -172,15 +167,15 @@ def main(batch_size: int = 8, steps: int = 50, tiny: bool = False,
             lambda v, x, t, c: model.apply(v, x, t, c, method=model.apply_model),
             variables, x2, t2, c2,
         )
-        cond_flops = _flops(
-            lambda v, m: model.apply(v, m, True, method=model.get_learned_conditioning),
+        pair_flops = _flops(
+            lambda v, m: model.apply(v, m, method=model.get_learned_conditioning_pair),
             variables, batch["mixed"],
         )
         dec_flops = _flops(
             lambda v, z: model.apply(v, z, method=model.decode_first_stage),
             variables, jnp.zeros((b, zres, zres, 4), jnp.float32),
         )
-        program_flops = steps * unet_flops + 2 * cond_flops + dec_flops
+        program_flops = steps * unet_flops + pair_flops + dec_flops
     except Exception:
         program_flops = float("nan")
 

@@ -28,16 +28,11 @@ def make_eps_fn(model: LatentDiffusion, variables):
 
 
 def encode_cfg_conditioning(model: LatentDiffusion, variables, mixed: Dict):
-    """(c_neg, c_pos) for the EALDM negative-pairing convention."""
-    c_pos = model.apply(
-        variables, mixed, True, method=model.get_learned_conditioning
+    """(c_neg, c_pos) for the EALDM negative-pairing convention; the image
+    encodes run as one 2N-batched first-stage call."""
+    return model.apply(
+        variables, mixed, method=model.get_learned_conditioning_pair
     )
-    neg = dict(mixed)
-    neg["img"] = mixed["img_random"]
-    c_neg = model.apply(
-        variables, neg, False, method=model.get_learned_conditioning
-    )
-    return c_neg, c_pos
 
 
 def sample_images(

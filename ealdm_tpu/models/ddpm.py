@@ -279,6 +279,27 @@ class LatentDiffusion(nn.Module):
             )
         return self.cond_stage_model(cond, deterministic=deterministic)
 
+    def get_learned_conditioning_pair(self, mixed, *, deterministic=True):
+        """(c_neg, c_pos) for the EALDM CFG negative-pairing convention
+        (negative = other-site image `img_random` with env fusion off,
+        reference STDiff training loop). The frozen first-stage image
+        encode — nearly all the conditioning FLOPs — runs as ONE 2N-batched
+        call so the MXU stays fed; only the small env-fusion heads run per
+        branch."""
+        assert self.cond_stage_key == "mixed"
+        img2 = jnp.concatenate([mixed["img"], mixed["img_random"]], axis=0)
+        feat2 = jax.lax.stop_gradient(self._mixed_image_features(img2))
+        n = mixed["img"].shape[0]
+        c_pos = self.cond_stage_model(
+            feat2[:n], mixed["flow"], mixed["weather"], mixed["time"],
+            fuse_env=True, deterministic=deterministic,
+        )
+        c_neg = self.cond_stage_model(
+            feat2[n:], mixed["flow"], mixed["weather"], mixed["time"],
+            fuse_env=False, deterministic=deterministic,
+        )
+        return c_neg, c_pos
+
     def _mixed_image_features(self, img):
         fs = self.first_stage_model
         if isinstance(fs, VQModel):
@@ -445,13 +466,8 @@ class LatentDiffusion(nn.Module):
             mixed = batch["mixed"]
             if self.unconditional_guidance_scale != 1.0:
                 # negative branch: random other-site image, env fusion off
-                neg = dict(mixed)
-                neg["img"] = mixed["img_random"]
-                c_neg = self.get_learned_conditioning(
-                    neg, fuse_env=False, deterministic=not train
-                )
-                c_pos = self.get_learned_conditioning(
-                    mixed, fuse_env=True, deterministic=not train
+                c_neg, c_pos = self.get_learned_conditioning_pair(
+                    mixed, deterministic=not train
                 )
                 cond_context = jnp.concatenate([c_neg, c_pos], axis=0)
             else:
