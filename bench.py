@@ -21,8 +21,9 @@ import time
 A100_REFERENCE_IMG_PER_S = 3.0  # documented estimate, see module docstring
 
 
-def main(batch_size: int = 8, steps: int = 50, tiny: bool = False,
-         unet_format: str = "HWNC", norm_impl: str = "xla"):
+def main(batch_size: int = 24, steps: int = 50, tiny: bool = False,
+         unet_format: str = "HWNC", norm_impl: str = "xla",
+         streams: int = 3):
     import jax
     import jax.numpy as jnp
     from ealdm_tpu.utils.cache import enable_compile_cache
@@ -134,8 +135,14 @@ def main(batch_size: int = 8, steps: int = 50, tiny: bool = False,
             variables, mixed, method=model.get_learned_conditioning_pair
         )
 
+        from ealdm_tpu.inference import split_streams
+
         def eps_fn(x, t, ctx):
             return model.apply(variables, x, t, ctx, method=model.apply_model)
+
+        # independent per-stream denoiser chains hide the chip's fixed
+        # per-op issue latency (see inference.split_streams)
+        eps_fn = split_streams(eps_fn, streams)
 
         z = ddim_sample(
             eps_fn, rng, (b, zres, zres, 4), ddim, cfg, cond=c_pos, uncond=c_neg
@@ -228,10 +235,12 @@ if __name__ == "__main__":
     import argparse
 
     p = argparse.ArgumentParser()
-    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--batch-size", type=int, default=24)
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--unet-format", default="HWNC", choices=["HWNC", "NHWC"])
     p.add_argument("--norm-impl", default="xla", choices=["pallas", "xla"])
+    p.add_argument("--streams", type=int, default=3,
+                   help="independent denoiser chains per step (latency hiding)")
     a = p.parse_args()
-    main(a.batch_size, a.steps, a.tiny, a.unet_format, a.norm_impl)
+    main(a.batch_size, a.steps, a.tiny, a.unet_format, a.norm_impl, a.streams)
