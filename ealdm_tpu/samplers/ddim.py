@@ -26,8 +26,9 @@ class DDIMConfig(NamedTuple):
     num_steps: int = 50
     eta: float = 0.0
     temperature: float = 1.0
+    noise_dropout: float = 0.0
     unconditional_guidance_scale: float = 1.0
-    parameterization: str = "eps"
+    parameterization: str = "eps"  # "eps" or "x0" (reference ddpm.py:431)
     clip_denoised: bool = False
     quantize_x0: bool = False
     unroll: int = 1  # lax.scan unroll factor (scheduling experiment knob)
@@ -54,9 +55,16 @@ def _guided_eps(
 def ddim_step(
     x, e_t, a_t, a_prev, sigma_t, noise, cfg: DDIMConfig, quantize_fn=None
 ):
-    """One DDIM update given the model eps and per-step scalars."""
+    """One DDIM update given the model output and per-step scalars
+    (reference ddim.py:166-205 p_sample_ddim)."""
     sqrt_one_minus_at = jnp.sqrt(1.0 - a_t)
-    pred_x0 = (x - sqrt_one_minus_at * e_t) / jnp.sqrt(a_t)
+    if cfg.parameterization == "x0":
+        # model predicts x0 directly (reference ddpm.py:431 target switch);
+        # recover eps for the direction term
+        pred_x0 = e_t
+        e_t = (x - jnp.sqrt(a_t) * pred_x0) / sqrt_one_minus_at
+    else:
+        pred_x0 = (x - sqrt_one_minus_at * e_t) / jnp.sqrt(a_t)
     if cfg.clip_denoised:
         pred_x0 = jnp.clip(pred_x0, -1.0, 1.0)
     if cfg.quantize_x0 and quantize_fn is not None:
@@ -81,12 +89,15 @@ def ddim_sample(
     quantize_fn=None,
     return_pred_x0: bool = False,
     return_intermediates: bool = False,
+    score_corrector=None,
 ):
     """Run the full DDIM chain. Returns final x (and optionally last pred_x0,
     or all per-step (x_inter, pred_x0) stacks when return_intermediates).
 
     mask/x0: inpainting — at each step the known region is re-noised from x0
     and composited (mask==1 keeps the known region, as in the reference).
+    score_corrector: optional `fn(e_t, x, t, cond) -> e_t` hook applied to
+    the (guided) model score (reference ddim.py:180-182 modify_score).
     """
     b = shape[0]
     rng, init_rng = jax.random.split(rng)
@@ -120,7 +131,15 @@ def ddim_sample(
         e_t = _guided_eps(
             eps_fn, x, t_vec, cond, uncond, cfg.unconditional_guidance_scale
         )
+        if score_corrector is not None:
+            e_t = score_corrector(e_t, x, t_vec, cond)
+        k_drop, step_rng = jax.random.split(step_rng)
         noise = jax.random.normal(step_rng, x.shape)
+        if cfg.noise_dropout > 0.0:
+            keep = jax.random.bernoulli(
+                k_drop, 1.0 - cfg.noise_dropout, x.shape
+            )
+            noise = noise * keep / (1.0 - cfg.noise_dropout)
         x_prev, pred_x0 = ddim_step(
             x, e_t, a_t, a_prev, sigma_t, noise, cfg, quantize_fn
         )

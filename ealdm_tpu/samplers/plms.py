@@ -29,6 +29,7 @@ def plms_sample(
     cond=None,
     uncond=None,
     x_T: Optional[jnp.ndarray] = None,
+    score_corrector=None,
 ):
     assert cfg.eta == 0.0, "PLMS requires eta == 0"
     b = shape[0]
@@ -51,7 +52,10 @@ def plms_sample(
     scale = cfg.unconditional_guidance_scale
 
     def model_eps(x, t_vec):
-        return _guided_eps(eps_fn, x, t_vec, cond, uncond, scale)
+        e_t = _guided_eps(eps_fn, x, t_vec, cond, uncond, scale)
+        if score_corrector is not None:
+            e_t = score_corrector(e_t, x, t_vec, cond)
+        return e_t
 
     def body(carry, per_step):
         x, old_eps = carry  # old_eps: [4, ...] ring buffer, newest at index 3

@@ -75,3 +75,85 @@ def test_cfg_scale_algebra():
     uncond = jnp.zeros((2, 1))
     out = _guided_eps(eps_fn, x, t, cond, uncond, s)
     np.testing.assert_allclose(np.asarray(out), e_u + s * (e_c - e_u), rtol=1e-6)
+
+
+def test_score_corrector_hook_applies():
+    """score_corrector fn(e_t, x, t, cond) replaces the model score
+    (reference ddim.py:180-182 modify_score)."""
+    from ealdm_tpu.samplers import DDIMConfig, ddim_sample
+    from ealdm_tpu.ops.schedules import DDIMSchedule
+
+    sched = DiffusionSchedule.create(timesteps=20)
+    ddim = DDIMSchedule.create(sched, 5, eta=0.0)
+    cfg = DDIMConfig(num_steps=5, eta=0.0)
+    rng = jax.random.PRNGKey(0)
+    base = ddim_sample(
+        lambda x, t, c: 0.1 * x, rng, (1, 4, 4, 1), ddim, cfg
+    )
+    # corrector that zeroes the score ==> pure x0 = x/sqrt(a) telescoping
+    corrected = ddim_sample(
+        lambda x, t, c: 0.1 * x, rng, (1, 4, 4, 1), ddim, cfg,
+        score_corrector=lambda e, x, t, c: jnp.zeros_like(e),
+    )
+    zero_eps = ddim_sample(
+        lambda x, t, c: jnp.zeros_like(x), rng, (1, 4, 4, 1), ddim, cfg
+    )
+    assert not np.allclose(np.asarray(base), np.asarray(corrected))
+    np.testing.assert_allclose(
+        np.asarray(corrected), np.asarray(zero_eps), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_x0_parameterization_matches_eps():
+    """A model predicting x0 must produce the same chain as the equivalent
+    eps model under parameterization='x0' (reference ddpm.py:431)."""
+    from ealdm_tpu.samplers import DDIMConfig, ddim_sample
+    from ealdm_tpu.ops.schedules import DDIMSchedule
+
+    sched = DiffusionSchedule.create(timesteps=20)
+    ddim = DDIMSchedule.create(sched, 5, eta=0.0)
+    rng = jax.random.PRNGKey(3)
+
+    # ground-truth latent the model "knows"
+    x0_true = jnp.full((1, 4, 4, 1), 0.37)
+    steps_rev = np.asarray(ddim.timesteps[::-1])
+    a_by_t = {int(t): float(a) for t, a in
+              zip(steps_rev, np.asarray(ddim.alphas[::-1]))}
+
+    def eps_model(x, t, c):
+        a_t = jnp.asarray([a_by_t[int(np.asarray(t)[0])]], jnp.float32)
+        a_t = a_t.reshape((1, 1, 1, 1))
+        return (x - jnp.sqrt(a_t) * x0_true) / jnp.sqrt(1.0 - a_t)
+
+    def x0_model(x, t, c):
+        return jnp.broadcast_to(x0_true, x.shape)
+
+    with jax.disable_jit():
+        out_eps = ddim_sample(
+            eps_model, rng, (1, 4, 4, 1), ddim,
+            DDIMConfig(num_steps=5, eta=0.0),
+        )
+        out_x0 = ddim_sample(
+            x0_model, rng, (1, 4, 4, 1), ddim,
+            DDIMConfig(num_steps=5, eta=0.0, parameterization="x0"),
+        )
+    np.testing.assert_allclose(
+        np.asarray(out_eps), np.asarray(out_x0), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_noise_dropout_zero_keeps_mask_free_path():
+    """noise_dropout=0 must not alter results beyond rng bookkeeping, and
+    dropout>0 changes eta>0 chains (reference ddim.py:201-202)."""
+    from ealdm_tpu.samplers import DDIMConfig, ddim_sample
+    from ealdm_tpu.ops.schedules import DDIMSchedule
+
+    sched = DiffusionSchedule.create(timesteps=20)
+    ddim = DDIMSchedule.create(sched, 5, eta=1.0)
+    rng = jax.random.PRNGKey(1)
+    f = lambda x, t, c: 0.05 * x
+    a = ddim_sample(f, rng, (1, 4, 4, 1), ddim, DDIMConfig(num_steps=5, eta=1.0))
+    b = ddim_sample(f, rng, (1, 4, 4, 1), ddim,
+                    DDIMConfig(num_steps=5, eta=1.0, noise_dropout=0.5))
+    assert np.isfinite(np.asarray(a)).all() and np.isfinite(np.asarray(b)).all()
+    assert not np.allclose(np.asarray(a), np.asarray(b))
