@@ -21,9 +21,58 @@ import time
 A100_REFERENCE_IMG_PER_S = 3.0  # documented estimate, see module docstring
 
 
+def train_bench(model, batch, b, res, device_kind, remat="dots"):
+    """Training-throughput mode (--train): steps/sec and images/sec for the
+    full LatentDiffusion train step (frozen first stage, EMA, AdamW),
+    mirroring the reference's epoch-time instrumentation
+    (reference main.py:457-467 CUDACallback)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ealdm_tpu.training.trainer import (
+        init_train_state, make_optimizer, make_train_step,
+    )
+
+    rng = jax.random.PRNGKey(0)
+    state, optimizer = init_train_state(
+        model, rng, batch, learning_rate=1e-5, use_ema=True
+    )
+    step = make_train_step(model, optimizer, remat=remat)
+
+    def sync(m):
+        return float(m["loss"])
+
+    t0 = time.perf_counter()
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    sync(metrics)
+    compile_s = time.perf_counter() - t0
+
+    iters = 8
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, metrics = step(state, batch, jax.random.PRNGKey(2 + i))
+    sync(metrics)
+    dt = (time.perf_counter() - t0) / iters
+
+    result = {
+        "metric": f"{res}^2 stdiff-LDM train images/sec/chip (fwd+bwd+adamw+ema)",
+        "value": round(b / dt, 3),
+        "unit": "img/s",
+        "vs_baseline": float("nan"),
+        "step_ms": round(dt * 1e3, 2),
+        "loss_finite": bool(jnp.isfinite(metrics["loss"])),
+        "device": device_kind,
+    }
+    print(json.dumps(result))
+    import sys
+
+    print(f"# train batch={b} dt={dt*1e3:.1f}ms compile={compile_s:.1f}s",
+          file=sys.stderr)
+
+
 def main(batch_size: int = 24, steps: int = 50, tiny: bool = False,
          unet_format: str = "HWNC", norm_impl: str = "xla",
-         streams: int = 3):
+         streams: int = 3, train: bool = False, remat: str = "dots"):
     import jax
     import jax.numpy as jnp
     from ealdm_tpu.utils.cache import enable_compile_cache
@@ -122,6 +171,10 @@ def main(batch_size: int = 24, steps: int = 50, tiny: bool = False,
     variables = jax.tree_util.tree_map(
         lambda s: jnp.full(s.shape, 0.02, s.dtype), shapes
     )
+
+    if train:
+        device_kind = jax.devices()[0].device_kind
+        return train_bench(model, batch, b, res, device_kind, remat)
 
     sched = DiffusionSchedule.create(
         timesteps=1000, linear_start=0.0015, linear_end=0.0195
@@ -242,5 +295,9 @@ if __name__ == "__main__":
     p.add_argument("--norm-impl", default="xla", choices=["pallas", "xla"])
     p.add_argument("--streams", type=int, default=3,
                    help="independent denoiser chains per step (latency hiding)")
+    p.add_argument("--train", action="store_true",
+                   help="measure training step throughput instead of sampling")
+    p.add_argument("--remat", default="dots", choices=["none", "dots", "full"])
     a = p.parse_args()
-    main(a.batch_size, a.steps, a.tiny, a.unet_format, a.norm_impl, a.streams)
+    main(a.batch_size, a.steps, a.tiny, a.unet_format, a.norm_impl, a.streams,
+         a.train, a.remat)

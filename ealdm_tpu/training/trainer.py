@@ -121,11 +121,13 @@ def init_train_state(
 
 
 def _donation_supported() -> bool:
-    """Buffer donation fails with INVALID_ARGUMENT on the axon tunnelled-TPU
-    backend; disable it there (it is purely an HBM optimisation)."""
+    """Buffer donation is required to fit the 478M-param train state twice
+    (in+out) in HBM; it works on current axon relays (validated round 2 —
+    an earlier relay rejected it with INVALID_ARGUMENT). EALDM_NO_DONATION=1
+    is the escape hatch for backends where it still fails."""
     import os
 
-    return "axon" not in os.environ.get("JAX_PLATFORMS", "")
+    return os.environ.get("EALDM_NO_DONATION", "0") != "1"
 
 
 def make_train_step(
@@ -133,13 +135,23 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     mesh: Optional[Mesh] = None,
     donate: bool = True,
+    remat: str = "dots",
 ):
     donate = donate and _donation_supported()
     """Build the jitted (state, batch, rng) -> (state, metrics) step.
 
     With a mesh, the batch is sharded on `data` and params replicated (or
     TP-sharded via parallel.sharding); the grad psum is compiler-emitted.
+
+    remat: rematerialisation policy for the backward — the TPU-native
+    replacement for the reference's per-module `use_checkpoint` torch
+    checkpoint wrappers (reference openaimodel.py:197-203).
+      "dots"  (default) keep matmul/attention outputs, recompute the conv
+              and elementwise chains (HBM-bound parts trade for MXU FLOPs);
+      "full"  recompute everything (minimum memory);
+      "none"  store all residuals.
     """
+    assert remat in ("none", "dots", "full")
 
     def loss_fn(params, batch, rng):
         loss, metrics = model.apply(
@@ -150,6 +162,15 @@ def make_train_step(
             rngs={"dropout": jax.random.fold_in(rng, 1)},
         )
         return loss, metrics
+
+    if remat == "dots":
+        loss_fn = jax.checkpoint(
+            loss_fn, policy=jax.checkpoint_policies.dots_saveable
+        )
+    elif remat == "full":
+        loss_fn = jax.checkpoint(
+            loss_fn, policy=jax.checkpoint_policies.nothing_saveable
+        )
 
     def step_fn(state: TrainState, batch, rng):
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
