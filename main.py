@@ -77,6 +77,13 @@ def main():
     parser = get_parser()
     opt, unknown = parser.parse_known_args()
 
+    # multi-host bring-up (JAX_COORDINATOR/JAX_NUM_PROCESSES/JAX_PROCESS_ID
+    # env; silent no-op single-host) — the DDP bring-up equivalent
+    # (reference main.py:577 accelerator="ddp")
+    from ealdm_tpu.serving import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
+
     now = datetime.datetime.now().strftime("%Y-%m-%dT%H-%M-%S")
     if opt.resume:
         paths = opt.resume.split("/")
