@@ -36,6 +36,9 @@ def split_streams(eps_fn, num_streams: int):
         return eps_fn
 
     def split_fn(x, t, ctx):
+        assert x.shape[0] % num_streams == 0, (
+            f"batch {x.shape[0]} not divisible by {num_streams} streams"
+        )
         n = x.shape[0] // num_streams
         outs = [
             eps_fn(
@@ -96,7 +99,8 @@ def sample_images(
     if guidance_scale is None:
         guidance_scale = model.unconditional_guidance_scale
     cfg = DDIMConfig(
-        num_steps=steps, eta=eta, unconditional_guidance_scale=guidance_scale
+        num_steps=steps, eta=eta, unconditional_guidance_scale=guidance_scale,
+        parameterization=model.parameterization,
     )
     if mixed is not None and cond is None:
         uncond, cond = encode_cfg_conditioning(model, variables, mixed)
@@ -232,8 +236,13 @@ def log_images(
             )
             ddim = DDIMSchedule.create(sched, steps, eta=eta)
             cond = uncond = None
+            ucg = model.unconditional_guidance_scale
             if mixed is not None:
                 uncond, cond = encode_cfg_conditioning(model, variables, mixed)
+            elif cond_ctx is not None:
+                # generic conditioning (class/caption/bbox): condition the
+                # progressive chain too, CFG off (no paired negative)
+                cond, ucg = cond_ctx, 1.0
             _, (x_inter, pred_x0s) = ddim_sample(
                 make_eps_fn(model, variables),
                 jax.random.fold_in(rng, 9),
@@ -241,7 +250,8 @@ def log_images(
                 ddim,
                 DDIMConfig(
                     num_steps=steps, eta=eta,
-                    unconditional_guidance_scale=model.unconditional_guidance_scale,
+                    unconditional_guidance_scale=ucg,
+                    parameterization=model.parameterization,
                 ),
                 cond=cond[: min(n, 4)] if cond is not None else None,
                 uncond=uncond[: min(n, 4)] if uncond is not None else None,

@@ -343,14 +343,37 @@ class LatentDiffusion(nn.Module):
             x_noisy, t, cond_context, deterministic=deterministic
         )
 
+    def _split_context(self, cond_context):
+        """(c_concat, c_crossattn) lists from a raw context. 'hybrid' takes a
+        dict {"c_concat": ..., "c_crossattn": ...} (each an array or list),
+        mirroring the reference's dict-of-lists cond (ddpm.py:1030-1038);
+        a single array routes per conditioning_key."""
+        def aslist(v):
+            if v is None:
+                return None
+            return list(v) if isinstance(v, (list, tuple)) else [v]
+
+        if isinstance(cond_context, dict):
+            return (
+                aslist(cond_context.get("c_concat")),
+                aslist(cond_context.get("c_crossattn")),
+            )
+        if self.conditioning_key == "hybrid":
+            raise ValueError(
+                "hybrid conditioning needs a dict context "
+                '{"c_concat": ..., "c_crossattn": ...}'
+            )
+        if self.conditioning_key in ("crossattn", "adm"):
+            return None, [cond_context]
+        return [cond_context], None
+
     def _apply_model_dense(self, x_noisy, t, cond_context, *, deterministic=True):
         if self.conditioning_key is None or cond_context is None:
             return self.model(x_noisy, t, deterministic=deterministic)
-        if self.conditioning_key in ("crossattn", "hybrid", "adm"):
-            return self.model(
-                x_noisy, t, c_crossattn=[cond_context], deterministic=deterministic
-            )
-        return self.model(x_noisy, t, c_concat=[cond_context], deterministic=deterministic)
+        cc, ca = self._split_context(cond_context)
+        return self.model(
+            x_noisy, t, c_concat=cc, c_crossattn=ca, deterministic=deterministic
+        )
 
     def _apply_model_patched(self, x_noisy, t, cond_context, *, deterministic=True):
         """Denoise an overlapping crop grid and stitch (reference apply_model
@@ -368,33 +391,41 @@ class LatentDiffusion(nn.Module):
         # input, reference cond keys at ddpm.py:935-947) rides the concat
         # path and is unfolded with the same crop grid; token/class context
         # (crossattn/adm) is tiled per crop. A crossattn context that
-        # coincidentally matched H,W must NOT be unfolded.
-        spatial = cond_context is not None and self.conditioning_key in (
-            "concat",
-            "hybrid",
-        )
-        if spatial:
-            assert (
-                getattr(cond_context, "ndim", 0) == 4
-                and cond_context.shape[:3] == x_noisy.shape[:3]
-            ), (
-                "concat conditioning must be a [B,H,W,C] map matching the "
-                f"input grid, got {getattr(cond_context, 'shape', None)}"
-            )
-        if spatial:
-            c_crops = unfold2d(cond_context, p["ks"], p["stride"])
-            c_flat = c_crops.reshape((-1,) + c_crops.shape[2:])
+        # coincidentally matched H,W must NOT be unfolded. For 'hybrid'
+        # (dict context) each stream gets its own treatment.
+        cc, ca = (None, None)
+        if cond_context is not None:
+            cc, ca = self._split_context(cond_context)
+        if cc is not None:
+            for m in cc:
+                assert (
+                    getattr(m, "ndim", 0) == 4
+                    and m.shape[:3] == x_noisy.shape[:3]
+                ), (
+                    "concat conditioning must be a [B,H,W,C] map matching "
+                    f"the input grid, got {getattr(m, 'shape', None)}"
+                )
+            cc_flat = [
+                unfold2d(m, p["ks"], p["stride"]).reshape(
+                    (-1,) + (p["ks"][0], p["ks"][1], m.shape[-1])
+                )
+                for m in cc
+            ]
 
         def fn(crops):
             length = crops.shape[0] // b
             t_in = jnp.repeat(t, length)
-            if cond_context is None:
-                c = None
-            elif spatial:
-                c = c_flat
-            else:
-                c = jnp.repeat(cond_context, length, axis=0)
-            return self._apply_model_dense(crops, t_in, c, deterministic=deterministic)
+            ctx = None
+            if cond_context is not None:
+                cc_r = cc_flat if cc is not None else None
+                ca_r = (
+                    [jnp.repeat(a, length, axis=0) for a in ca]
+                    if ca is not None else None
+                )
+                ctx = {"c_concat": cc_r, "c_crossattn": ca_r}
+            return self._apply_model_dense(
+                crops, t_in, ctx, deterministic=deterministic
+            )
 
         return patched_apply(fn, x_noisy, p)
 

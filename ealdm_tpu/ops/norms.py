@@ -57,7 +57,7 @@ _NORM_IMPL = "xla"
 
 
 def set_norm_impl(mode: str):
-    """mode: 'pallas' (default; fused TPU kernel where eligible) or 'xla'."""
+    """mode: 'xla' (default; see _NORM_IMPL comment) or 'pallas'."""
     global _NORM_IMPL
     assert mode in ("pallas", "xla")
     _NORM_IMPL = mode

@@ -78,12 +78,15 @@ def export_sampler(
 
     sched = DiffusionSchedule.create(
         timesteps=model.timesteps,
+        beta_schedule=model.beta_schedule,
         linear_start=model.linear_start,
         linear_end=model.linear_end,
+        cosine_s=model.cosine_s,
     )
     ddim = DDIMSchedule.create(sched, steps, eta=eta)
     cfg = DDIMConfig(
-        num_steps=steps, eta=eta, unconditional_guidance_scale=guidance_scale
+        num_steps=steps, eta=eta, unconditional_guidance_scale=guidance_scale,
+        parameterization=model.parameterization,
     )
     shape = (batch_size,) + tuple(latent_shape)
 

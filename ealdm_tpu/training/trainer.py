@@ -137,7 +137,6 @@ def make_train_step(
     donate: bool = True,
     remat: str = "dots",
 ):
-    donate = donate and _donation_supported()
     """Build the jitted (state, batch, rng) -> (state, metrics) step.
 
     With a mesh, the batch is sharded on `data` and params replicated (or
@@ -152,6 +151,7 @@ def make_train_step(
       "none"  store all residuals.
     """
     assert remat in ("none", "dots", "full")
+    donate = donate and _donation_supported()
 
     def loss_fn(params, batch, rng):
         loss, metrics = model.apply(

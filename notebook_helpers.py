@@ -163,7 +163,8 @@ def make_convolutional_sample(
     sched = model.apply(variables, method=lambda m: m.schedule)
     ddim = DDIMSchedule.create(sched, custom_steps, eta=eta)
     cfg = DDIMConfig(num_steps=custom_steps, eta=eta, temperature=temperature,
-                     quantize_x0=quantize_x0)
+                     quantize_x0=quantize_x0,
+                     parameterization=model.parameterization)
 
     def eps_fn(xi, ti, ci):
         return model.apply(variables, xi, ti, ci, method=model.apply_model)

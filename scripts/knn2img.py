@@ -91,7 +91,8 @@ def main():
     sched = DiffusionSchedule.create(timesteps=model.timesteps)
     ddim = DDIMSchedule.create(sched, opt.ddim_steps, eta=opt.ddim_eta)
     cfg = DDIMConfig(num_steps=opt.ddim_steps, eta=opt.ddim_eta,
-                     unconditional_guidance_scale=opt.scale)
+                     unconditional_guidance_scale=opt.scale,
+                     parameterization=model.parameterization)
     eps_fn = make_eps_fn(model, variables)
     zres = opt.H // 16
 

@@ -119,7 +119,8 @@ def main():
             return model.apply(variables, z, method=model.decode_first_stage)
     else:
         ddim = DDIMSchedule.create(sched, opt.custom_steps, eta=opt.eta)
-        cfg = DDIMConfig(num_steps=opt.custom_steps, eta=opt.eta)
+        cfg = DDIMConfig(num_steps=opt.custom_steps, eta=opt.eta,
+                         parameterization=model.parameterization)
 
         def sample_fn(rng):
             z = ddim_sample(eps_fn, rng, shape, ddim, cfg)

@@ -140,6 +140,7 @@ def main():
     cfg = DDIMConfig(
         num_steps=opt.ddim_steps, eta=0.0 if opt.plms else opt.ddim_eta,
         unconditional_guidance_scale=opt.scale,
+        parameterization=model.parameterization,
     )
     eps_fn = make_eps_fn(model, variables)
     sampler = plms_sample if opt.plms else ddim_sample

@@ -267,3 +267,80 @@ def test_first_stage_cond_sentinel_encodes_condition():
     # encoded to latent resolution, not passed through raw
     assert c.shape == (2, 8, 8, 3), c.shape
     assert c.shape == z.shape
+
+
+def test_hybrid_conditioning_dict_context():
+    """'hybrid' takes {"c_concat","c_crossattn"} and routes both streams
+    into the DiffusionWrapper (reference ddpm.py:1030-1038)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ealdm_tpu.models.ddpm import DiffusionWrapper
+
+    unet = dict(
+        image_size=8, in_channels=8, out_channels=4, model_channels=16,
+        attention_resolutions=[1], num_res_blocks=1, channel_mult=[1],
+        num_head_channels=8, use_spatial_transformer=True,
+        transformer_depth=1, context_dim=32,
+    )
+    wrapper = DiffusionWrapper(unet_config=unet, conditioning_key="hybrid")
+    x = jnp.zeros((2, 8, 8, 4))
+    t = jnp.zeros((2,), jnp.int32)
+    cc = jnp.zeros((2, 8, 8, 4))
+    ca = jnp.zeros((2, 3, 32))
+    v = wrapper.init(jax.random.PRNGKey(0), x, t, c_concat=[cc],
+                     c_crossattn=[ca])
+    out = wrapper.apply(v, x, t, c_concat=[cc], c_crossattn=[ca])
+    assert out.shape == (2, 8, 8, 4)
+
+
+def test_apply_model_hybrid_dense_and_guard():
+    """LatentDiffusion.apply_model dispatches hybrid dict contexts and
+    rejects a bare-array hybrid context with a clear error."""
+    import jax
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from ealdm_tpu.config import model_from_config
+
+    cfg = {
+        "target": "ldm.models.diffusion.ddpm.LatentDiffusion",
+        "params": {
+            "timesteps": 10,
+            "conditioning_key": "hybrid",
+            "cond_stage_key": "masked_image",
+            "unet_config": {
+                "target": "x.UNetModel",
+                "params": dict(
+                    image_size=8, in_channels=8, out_channels=4,
+                    model_channels=16, attention_resolutions=[1],
+                    num_res_blocks=1, channel_mult=[1], num_head_channels=8,
+                    use_spatial_transformer=True, transformer_depth=1,
+                    context_dim=32,
+                ),
+            },
+            "first_stage_config": {
+                "target": "ldm.models.autoencoder.VQModelInterface",
+                "params": {
+                    "embed_dim": 4, "n_embed": 16,
+                    "ddconfig": dict(
+                        double_z=False, z_channels=4, resolution=16,
+                        in_channels=3, out_ch=3, ch=8, ch_mult=[1, 2],
+                        num_res_blocks=1, attn_resolutions=[], dropout=0.0,
+                    ),
+                },
+            },
+            "cond_stage_config": "__is_first_stage__",
+        },
+    }
+    model, _ = model_from_config(cfg)
+    x = jnp.zeros((2, 8, 8, 4))
+    t = jnp.zeros((2,), jnp.int32)
+    ctx = {"c_concat": jnp.zeros((2, 8, 8, 4)),
+           "c_crossattn": jnp.zeros((2, 3, 32))}
+    v = model.init(jax.random.PRNGKey(0), x, t, ctx,
+                   method=model.apply_model)
+    out = model.apply(v, x, t, ctx, method=model.apply_model)
+    assert out.shape == (2, 8, 8, 4)
+    with _pytest.raises(ValueError, match="hybrid conditioning"):
+        model.apply(v, x, t, jnp.zeros((2, 3, 32)), method=model.apply_model)
