@@ -72,7 +72,8 @@ def train_bench(model, batch, b, res, device_kind, remat="dots"):
 
 def main(batch_size: int = 24, steps: int = 50, tiny: bool = False,
          unet_format: str = "HWNC", norm_impl: str = "xla",
-         streams: int = 3, train: bool = False, remat: str = "dots"):
+         streams: int = 3, train: bool = False, remat: str = "dots",
+         conv_impl: str = "xla"):
     import jax
     import jax.numpy as jnp
     from ealdm_tpu.utils.cache import enable_compile_cache
@@ -81,6 +82,8 @@ def main(batch_size: int = 24, steps: int = 50, tiny: bool = False,
 
     from ealdm_tpu.ops.norms import set_norm_impl
     set_norm_impl(norm_impl)
+    from ealdm_tpu.ops.winograd import set_conv_impl
+    set_conv_impl(conv_impl)
 
     from ealdm_tpu.models.ddpm import LatentDiffusion
     from ealdm_tpu.ops.schedules import DDIMSchedule, DiffusionSchedule
@@ -298,6 +301,10 @@ if __name__ == "__main__":
     p.add_argument("--train", action="store_true",
                    help="measure training step throughput instead of sampling")
     p.add_argument("--remat", default="dots", choices=["none", "dots", "full"])
+    p.add_argument("--conv-impl", default="xla",
+                   choices=["xla", "winograd2", "winograd4"],
+                   help="3x3-conv lowering (winograd: recorded experiment, "
+                        "see docs/PERF.md)")
     a = p.parse_args()
     main(a.batch_size, a.steps, a.tiny, a.unet_format, a.norm_impl, a.streams,
-         a.train, a.remat)
+         a.train, a.remat, a.conv_impl)

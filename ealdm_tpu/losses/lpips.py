@@ -79,36 +79,49 @@ class LPIPS(nn.Module):
 
 
 def load_torch_lpips_weights(params: Any, state_dict: dict) -> Any:
-    """Map a torch LPIPS state_dict (taming `vgg_lpips` layout) into the flax
-    param tree: features.N.weight (OIHW) -> vgg/convB_I (HWIO), linN.model.1.weight
-    -> linN. Returns the updated (unfrozen) tree."""
+    """Map a torch LPIPS state_dict into the flax param tree.
+
+    Accepts BOTH layouts that occur in the wild:
+      * taming `vgg_lpips` checkpoints (`taming/modules/losses/lpips.py`,
+        the layout the reference loads via contperceptual.py:4): the vgg16
+        wrapper keeps torchvision `features` indices inside per-tap slices,
+        so conv keys are `net.slice{1..5}.{orig_idx}.weight`, and the heads
+        are `lin{i}.model.1.weight` (model.0 is the dropout).
+      * a raw torchvision VGG16 state_dict: `features.{idx}.weight`.
+
+    Conv kernels transpose OIHW -> HWIO. Returns an updated copy.
+    """
     import numpy as np
 
+    def to_np(v):
+        return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach")
+                          else v)
+
     params = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy
-    # torchvision VGG16 'features' conv indices in order
+    # torchvision VGG16 'features' conv indices, and the taming slice each
+    # index lives in (slice boundaries: 4, 9, 16, 23, 30).
     conv_idx = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+    slice_of = lambda i: 1 + sum(i >= b for b in (4, 9, 16, 23))
     names = [
         f"conv{b}_{i}" for b, ws in enumerate(_VGG16_CFG) for i in range(len(ws))
     ]
     for idx, name in zip(conv_idx, names):
-        w = state_dict.get(f"net.slice_all.{idx}.weight")
-        if w is None:
-            w = state_dict.get(f"features.{idx}.weight")
-        b = state_dict.get(f"net.slice_all.{idx}.bias")
-        if b is None:
-            b = state_dict.get(f"features.{idx}.bias")
-        if w is not None:
-            params["vgg"][name]["kernel"] = jnp.asarray(
-                np.transpose(np.asarray(w), (2, 3, 1, 0))
-            )
-        if b is not None:
-            params["vgg"][name]["bias"] = jnp.asarray(np.asarray(b))
+        for fmt in (f"net.slice{slice_of(idx)}.{idx}", f"features.{idx}"):
+            w = state_dict.get(f"{fmt}.weight")
+            b = state_dict.get(f"{fmt}.bias")
+            if w is not None:
+                params["vgg"][name]["kernel"] = jnp.asarray(
+                    np.transpose(to_np(w), (2, 3, 1, 0))
+                )
+            if b is not None:
+                params["vgg"][name]["bias"] = jnp.asarray(to_np(b))
     for i in range(5):
-        w = state_dict.get(f"lin{i}.model.1.weight")
-        if w is not None:
-            params[f"lin{i}"]["kernel"] = jnp.asarray(
-                np.transpose(np.asarray(w), (2, 3, 1, 0))
-            )
+        for key in (f"lin{i}.model.1.weight", f"lins.{i}.model.1.weight"):
+            w = state_dict.get(key)
+            if w is not None:
+                params[f"lin{i}"]["kernel"] = jnp.asarray(
+                    np.transpose(to_np(w), (2, 3, 1, 0))
+                )
     return params
 
 

@@ -109,13 +109,19 @@ class SpatialRescaler(nn.Module):
 
 
 class FrozenCLIPTextEmbedder(nn.Module):
-    """CLIP-style text embedder (reference encoders/modules.py:138-170):
-    tokenized text -> pooled, L2-normalized embedding, optionally repeated
-    to n_repeat context tokens. Architecture-complete with a weight-import
-    hook (pretrained CLIP weights are not downloadable here)."""
+    """Frozen CLIP text embedder (reference encoders/modules.py:138-170,
+    `clip.load('ViT-L/14')`): tokenized text -> EOT-pooled CLIP feature,
+    L2-normalized, repeated to n_repeat context tokens.
+
+    The trunk is a FAITHFUL CLIP text transformer (models/clip.py: causal
+    mask, EOT pooling, text_projection) so OpenAI/HF checkpoints import
+    exactly (`clip.load_torch_clip_state`, oracle-tested). Tokenization uses
+    the hermetic SimpleTokenizer; real CLIP-BPE ids can be fed directly."""
 
     n_embed: int = 512
     n_layer: int = 12
+    width: int = 512
+    n_heads: int = 8
     vocab_size: int = 49408
     max_seq_len: int = 77
     n_repeat: int = 1
@@ -123,46 +129,54 @@ class FrozenCLIPTextEmbedder(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.transformer = TextTransformer(
-            vocab_size=self.vocab_size, max_len=self.max_seq_len,
-            dim=self.n_embed, depth=self.n_layer, dtype=self.dtype,
-        )
+        from .clip import CLIPTextTower
+
         self._tokenizer = SimpleTokenizer(self.vocab_size, self.max_seq_len)
+        eos = getattr(self._tokenizer, "EOS", None)
+        if self._tokenizer._wordpiece is not None:
+            eos = self._tokenizer._wordpiece.sep_id
+        self.transformer = CLIPTextTower(
+            vocab_size=self.vocab_size, context_length=self.max_seq_len,
+            width=self.width, layers=self.n_layer, heads=self.n_heads,
+            embed_dim=self.n_embed, eot_id=eos, name="model",
+            dtype=self.dtype,
+        )
 
     def tokenize(self, texts):
         return self._tokenizer(texts)
 
     def __call__(self, tokens, *, deterministic: bool = True):
-        h = self.transformer(tokens, deterministic=deterministic)
-        z = jnp.mean(h, axis=1)
+        z = self.transformer(tokens)
         if self.normalize:
             z = z / (jnp.linalg.norm(z, axis=-1, keepdims=True) + 1e-8)
         return jnp.repeat(z[:, None, :], self.n_repeat, axis=1)
 
 
 class FrozenClipImageEmbedder(nn.Module):
-    """CLIP-style image embedder (reference encoders/modules.py:173-202):
-    [-1,1] NHWC image -> preprocess (resize + CLIP channel stats) -> pooled
-    embedding from the in-repo trunk; weight-import hook for real CLIP."""
+    """Frozen CLIP image embedder (reference encoders/modules.py:173-202):
+    [-1,1] NHWC image -> CLIP preprocess (resize + channel stats) -> ViT
+    visual tower (models/clip.py, OpenAI/HF-importable) -> L2-normalized
+    embedding. Default geometry is ViT-B/32 (the third stage's
+    `openai/clip-vit-base-patch32`, third_stage_model.py:281)."""
 
     out_dim: int = 512
     image_size: int = 224
+    patch_size: int = 32
+    width: int = 768
+    n_layer: int = 12
+    n_heads: int = 12
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
-        import jax
+        from .clip import CLIPVisionTower, clip_preprocess
 
-        from .resnet import ResNet50
-
-        mean = jnp.asarray([0.48145466, 0.4578275, 0.40821073])
-        std = jnp.asarray([0.26862954, 0.26130258, 0.27577711])
-        n, h, w, c = x.shape
-        x = (x + 1.0) / 2.0
-        x = jax.image.resize(x, (n, self.image_size, self.image_size, c), "bilinear")
-        x = (x - mean) / std
-        feats = ResNet50(name="visual", dtype=self.dtype)(x, pool=True)
-        z = nn.Dense(self.out_dim, name="proj", dtype=self.dtype)(feats)
+        x = clip_preprocess(x, self.image_size)
+        z = CLIPVisionTower(
+            image_size=self.image_size, patch_size=self.patch_size,
+            width=self.width, layers=self.n_layer, heads=self.n_heads,
+            embed_dim=self.out_dim, name="visual", dtype=self.dtype,
+        )(x)
         return z / (jnp.linalg.norm(z, axis=-1, keepdims=True) + 1e-8)
 
 

@@ -61,15 +61,11 @@ class Conv2D(nn.Module):
         )
         kernel = self.param("kernel", init, (kh, kw, cin, self.features))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        pad = self.padding
-        if isinstance(pad, int):
-            pad = [(pad, pad), (pad, pad)]
-        dn = ("NHWC", "HWIO", "NHWC") if self.data_format == "NHWC" else (
-            "HWNC", "HWIO", "HWNC")
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype), kernel.astype(self.dtype),
-            window_strides=self.strides, padding=pad,
-            dimension_numbers=dn,
+        from ..ops.winograd import conv2d as conv_dispatch
+
+        y = conv_dispatch(
+            x, kernel, strides=self.strides, padding=self.padding,
+            data_format=self.data_format, dtype=self.dtype,
         )
         return y + bias.astype(self.dtype)
 

@@ -1,20 +1,38 @@
-"""ResNet-50 feature extractor, flax/NHWC.
+"""ResNet-50 feature extractor, flax/NHWC, torchvision-faithful.
 
 Capability parity with `torchvision.models.resnet50` as used by the STDiff
 tower's (bypassed) image branch (`/root/reference/STDiff/models.py:452`) and
-the third-stage feature extractor (`third_stage_model.py`). Weights are
-importable from a torchvision state_dict via `resnet50_key_map`; GroupNorm
-replaces BatchNorm running stats (documented SPMD deviation — identical
-shapes so torch BN affine params map onto the GroupNorm affine).
+the third-stage feature extractor (`third_stage_model.py`). BatchNorm is
+implemented FROZEN (eval-mode running stats as plain parameters, eps=1e-5)
+— the trunk is only ever used as a frozen feature extractor here, and this
+makes a torchvision `state_dict()` import value-exact
+(`load_torch_resnet50_state`, oracle-tested in tests/test_eval_trunks.py).
 """
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any, Dict, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+import numpy as np
 
-from ..ops.norms import resolve_num_groups
+
+class FrozenBatchNorm(nn.Module):
+    """Eval-mode BatchNorm2d: y = (x - mean) * rsqrt(var + eps) * w + b."""
+
+    features: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.features
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        mean = self.param("mean", nn.initializers.zeros, (c,))
+        var = self.param("var", nn.initializers.ones, (c,))
+        inv = jax.lax.rsqrt(var.astype(jnp.float32) + self.eps) * scale
+        return x * inv + (bias - mean * inv)
 
 
 class Bottleneck(nn.Module):
@@ -28,24 +46,22 @@ class Bottleneck(nn.Module):
         out_ch = self.features * self.expansion
         residual = x
         y = nn.Conv(self.features, (1, 1), use_bias=False, name="conv1", dtype=self.dtype)(x)
-        y = nn.GroupNorm(resolve_num_groups(self.features, 32), name="bn1")(y)
+        y = FrozenBatchNorm(self.features, name="bn1")(y)
         y = nn.relu(y)
         y = nn.Conv(
             self.features, (3, 3), strides=(self.strides, self.strides),
             padding=1, use_bias=False, name="conv2", dtype=self.dtype,
         )(y)
-        y = nn.GroupNorm(resolve_num_groups(self.features, 32), name="bn2")(y)
+        y = FrozenBatchNorm(self.features, name="bn2")(y)
         y = nn.relu(y)
         y = nn.Conv(out_ch, (1, 1), use_bias=False, name="conv3", dtype=self.dtype)(y)
-        y = nn.GroupNorm(resolve_num_groups(out_ch, 32), name="bn3")(y)
+        y = FrozenBatchNorm(out_ch, name="bn3")(y)
         if residual.shape[-1] != out_ch or self.strides != 1:
             residual = nn.Conv(
                 out_ch, (1, 1), strides=(self.strides, self.strides),
                 use_bias=False, name="downsample_conv", dtype=self.dtype,
             )(residual)
-            residual = nn.GroupNorm(
-                resolve_num_groups(out_ch, 32), name="downsample_bn"
-            )(residual)
+            residual = FrozenBatchNorm(out_ch, name="downsample_bn")(residual)
         return nn.relu(y + residual)
 
 
@@ -62,7 +78,7 @@ class ResNet50(nn.Module):
             64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
             name="conv1", dtype=self.dtype,
         )(x)
-        y = nn.GroupNorm(32, name="bn1")(y)
+        y = FrozenBatchNorm(64, name="bn1")(y)
         y = nn.relu(y)
         y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         for stage, n_blocks in enumerate(self.stage_sizes):
@@ -77,3 +93,55 @@ class ResNet50(nn.Module):
         if self.num_classes:
             y = nn.Dense(self.num_classes, name="fc", dtype=self.dtype)(y)
         return y
+
+
+def load_torch_resnet50_state(state_dict: Dict[str, Any],
+                              stage_sizes=(3, 4, 6, 3)) -> Dict:
+    """torchvision resnet50 `state_dict()` -> flax params for ResNet50.
+
+    torchvision naming translated:
+      conv{k}.weight            -> conv{k}/kernel (OIHW -> HWIO)
+      bn{k}.weight/bias         -> bn{k}/scale,bias
+      bn{k}.running_mean/var    -> bn{k}/mean,var
+      layer{s}.{b}.*            -> layer{s}_{b}/*
+      layer{s}.{b}.downsample.0 -> downsample_conv ; .1 -> downsample_bn
+      fc.weight/bias            -> fc/kernel (T), fc/bias
+    """
+    def to_np(v):
+        return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach")
+                          else v)
+
+    params: Dict = {}
+
+    def put(path, v):
+        node = params
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = jnp.asarray(v)
+
+    def put_conv(path, key):
+        put(path + ["kernel"], np.transpose(to_np(state_dict[key]),
+                                            (2, 3, 1, 0)))
+
+    def put_bn(path, prefix):
+        put(path + ["scale"], to_np(state_dict[f"{prefix}.weight"]))
+        put(path + ["bias"], to_np(state_dict[f"{prefix}.bias"]))
+        put(path + ["mean"], to_np(state_dict[f"{prefix}.running_mean"]))
+        put(path + ["var"], to_np(state_dict[f"{prefix}.running_var"]))
+
+    put_conv(["conv1"], "conv1.weight")
+    put_bn(["bn1"], "bn1")
+    for stage, n_blocks in enumerate(stage_sizes):
+        for b in range(n_blocks):
+            t = f"layer{stage + 1}.{b}"
+            f = f"layer{stage + 1}_{b}"
+            for k in (1, 2, 3):
+                put_conv([f, f"conv{k}"], f"{t}.conv{k}.weight")
+                put_bn([f, f"bn{k}"], f"{t}.bn{k}")
+            if f"{t}.downsample.0.weight" in state_dict:
+                put_conv([f, "downsample_conv"], f"{t}.downsample.0.weight")
+                put_bn([f, "downsample_bn"], f"{t}.downsample.1")
+    if "fc.weight" in state_dict:
+        put(["fc", "kernel"], to_np(state_dict["fc.weight"]).T)
+        put(["fc", "bias"], to_np(state_dict["fc.bias"]))
+    return {"params": params}

@@ -67,6 +67,7 @@ class CLIPZeroShot:
             self.text_model.vocab_size, self.text_model.max_seq_len
         )
         tokens = tokenizer([prompt.format(c) for c in self.class_names])
+        self._tokens = tokens
         self._text_params = self.text_model.init(rng, tokens)
         self._image_params = self.image_model.init(
             rng, jnp.zeros((1, image_size, image_size, 3))
@@ -78,6 +79,24 @@ class CLIPZeroShot:
         self._embed_images = jax.jit(
             lambda imgs: self.image_model.apply(self._image_params, imgs)
         )
+
+    def load_clip_weights(self, state_dict, tokens=None):
+        """Install real CLIP weights (OpenAI `clip` or HF CLIPModel
+        state_dict naming — `third_stage_model.py:281` loads
+        openai/clip-vit-base-patch32) into both towers and recompute the
+        class text embeddings. `tokens` optionally supplies real CLIP-BPE
+        ids for the class prompts."""
+        from .models.clip import load_torch_clip_state
+
+        text_params, visual_params = load_torch_clip_state(state_dict)
+        if text_params is not None:
+            self._text_params = {"params": {"model": text_params}}
+            if tokens is None:
+                tokens = self._tokens
+            z = self.text_model.apply(self._text_params, jnp.asarray(tokens))
+            self.class_embeddings = z[:, 0, :]
+        if visual_params is not None:
+            self._image_params = {"params": {"visual": visual_params}}
 
     def logits(self, images) -> np.ndarray:
         """[B, n_classes] cosine-similarity logits for [-1,1] NHWC images."""
@@ -280,19 +299,32 @@ class ThirdStageModel:
         return self._clip_scorer
 
     def _fid_feats(self, imgs):
-        """FID feature net: a DEDICATED seed-0 trunk, independent of `seed`
-        and of head training, so FID orderings are comparable across runs
-        (reference uses torchmetrics InceptionV3; weights not downloadable
-        here — the trunk is weight-importable and the FID math is exact
-        given features)."""
+        """FID feature net: the torchmetrics-compatible InceptionV3 FID
+        trunk (reference `third_stage_model.py:27,750` uses
+        `FrechetInceptionDistance(feature=2048)`), seed-0 init, independent
+        of `seed` and of head training. Real pt_inception-2015 weights load
+        via `load_fid_weights` (the import map is oracle-tested,
+        tests/test_eval_trunks.py); images arrive [-1,1] and are mapped to
+        the trunk's [0,1] convention."""
         if self._fid is None:
-            fid_net = ResNet50()
+            from .models.inception import InceptionV3Features
+
+            fid_net = InceptionV3Features()
             variables = fid_net.init(
-                jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), pool=True
+                jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))
             )
-            fn = jax.jit(lambda im: fid_net.apply(variables, im, pool=True))
+            fn = jax.jit(
+                lambda v, im: fid_net.apply(v, (im + 1.0) * 0.5))
             self._fid = (variables, fn)
-        return self._fid[1](imgs)
+        return self._fid[1](self._fid[0], imgs)
+
+    def load_fid_weights(self, state_dict):
+        """Install a torchvision-named InceptionV3 state_dict (e.g. the
+        pt_inception-2015-12-05 FID weights) into the FID feature net."""
+        from .models.inception import load_torch_inception_state
+
+        self._fid_feats(jnp.zeros((1, 8, 8, 3)))  # build lazily if needed
+        self._fid = (load_torch_inception_state(state_dict), self._fid[1])
 
     # ------------------------------------------------------------------ api
     def _batch_tensors(self, batch):
