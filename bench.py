@@ -21,11 +21,34 @@ import time
 A100_REFERENCE_IMG_PER_S = 3.0  # documented estimate, see module docstring
 
 
-def train_bench(model, batch, b, res, device_kind, remat="dots"):
-    """Training-throughput mode (--train): steps/sec and images/sec for the
-    full LatentDiffusion train step (frozen first stage, EMA, AdamW),
+def measure_matmul_peak(n: int = 8192, iters: int = 4) -> float:
+    """Achievable bf16 matmul FLOP/s on this chip/relay (the honest MFU
+    denominator next to the nominal datasheet peak)."""
+    import jax
+    import jax.numpy as jnp
+
+    a = jnp.ones((n, n), jnp.bfloat16)
+
+    @jax.jit
+    def mm(a):
+        return jnp.sum((a @ a)[:1, :1].astype(jnp.float32))
+
+    float(mm(a))  # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = mm(a)
+    float(out)
+    dt = (time.perf_counter() - t0) / iters
+    return 2 * n**3 / dt
+
+
+def train_bench(model, batch, b, res, device_kind, remat="dots", peak=197e12):
+    """Training-throughput mode (--train): steps/sec, images/sec and MFU for
+    the full LatentDiffusion train step (frozen first stage, EMA, AdamW),
     mirroring the reference's epoch-time instrumentation
-    (reference main.py:457-467 CUDACallback)."""
+    (reference main.py:457-467 CUDACallback). No A100 train anchor exists
+    (BASELINE.md records none), so MFU — against both the nominal and the
+    measured matmul peak — is the tracked progress number."""
     import jax
     import jax.numpy as jnp
 
@@ -47,12 +70,23 @@ def train_bench(model, batch, b, res, device_kind, remat="dots"):
     sync(metrics)
     compile_s = time.perf_counter() - t0
 
+    try:
+        ca = jax.jit(step).lower(
+            state, batch, jax.random.PRNGKey(1)
+        ).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        step_flops = float(ca.get("flops", float("nan")))
+    except Exception:
+        step_flops = float("nan")
+
     iters = 8
     t0 = time.perf_counter()
     for i in range(iters):
         state, metrics = step(state, batch, jax.random.PRNGKey(2 + i))
     sync(metrics)
     dt = (time.perf_counter() - t0) / iters
+    measured_peak = measure_matmul_peak()
 
     result = {
         "metric": f"{res}^2 stdiff-LDM train images/sec/chip (fwd+bwd+adamw+ema)",
@@ -60,13 +94,17 @@ def train_bench(model, batch, b, res, device_kind, remat="dots"):
         "unit": "img/s",
         "vs_baseline": float("nan"),
         "step_ms": round(dt * 1e3, 2),
+        "mfu_nominal": round(step_flops / dt / peak, 3),
+        "mfu_vs_measured_peak": round(step_flops / dt / measured_peak, 3),
         "loss_finite": bool(jnp.isfinite(metrics["loss"])),
         "device": device_kind,
     }
     print(json.dumps(result))
     import sys
 
-    print(f"# train batch={b} dt={dt*1e3:.1f}ms compile={compile_s:.1f}s",
+    print(f"# train batch={b} dt={dt*1e3:.1f}ms compile={compile_s:.1f}s "
+          f"step_tflops={step_flops/1e12:.2f} "
+          f"measured_peak={measured_peak/1e12:.0f}TF/s",
           file=sys.stderr)
 
 
@@ -177,7 +215,11 @@ def main(batch_size: int = 24, steps: int = 50, tiny: bool = False,
 
     if train:
         device_kind = jax.devices()[0].device_kind
-        return train_bench(model, batch, b, res, device_kind, remat)
+        peak_tr = {
+            "TPU v5 lite": 197e12, "TPU v5e": 197e12, "TPU v5": 459e12,
+            "TPU v4": 275e12, "TPU v6 lite": 918e12,
+        }.get(device_kind, 197e12)
+        return train_bench(model, batch, b, res, device_kind, remat, peak_tr)
 
     sched = DiffusionSchedule.create(
         timesteps=1000, linear_start=0.0015, linear_end=0.0195
@@ -262,6 +304,7 @@ def main(batch_size: int = 24, steps: int = 50, tiny: bool = False,
     dt = (time.perf_counter() - t0) / iters
     img_per_s = b / dt
 
+    measured_peak = measure_matmul_peak()
     mfu = program_flops / dt / peak
     result = {
         "metric": f"{res}^2 DDIM-{steps} CFG images/sec/chip (stdiff cond + VQ decode)",
@@ -269,6 +312,9 @@ def main(batch_size: int = 24, steps: int = 50, tiny: bool = False,
         "unit": "img/s",
         "vs_baseline": round(img_per_s / A100_REFERENCE_IMG_PER_S, 2),
         "mfu": round(mfu, 3),
+        "mfu_nominal": round(mfu, 3),
+        "mfu_vs_measured_peak": round(program_flops / dt / measured_peak, 3),
+        "measured_peak_tflops": round(measured_peak / 1e12, 1),
         "tflops_per_image": round(program_flops / b / 1e12, 3),
         "step_ms": round(dt / steps * 1e3, 2),
         "device": device_kind,
@@ -302,7 +348,7 @@ if __name__ == "__main__":
                    help="measure training step throughput instead of sampling")
     p.add_argument("--remat", default="dots", choices=["none", "dots", "full"])
     p.add_argument("--conv-impl", default="xla",
-                   choices=["xla", "winograd2", "winograd4"],
+                   choices=["xla", "winograd2", "winograd4", "int8"],
                    help="3x3-conv lowering (winograd: recorded experiment, "
                         "see docs/PERF.md)")
     a = p.parse_args()

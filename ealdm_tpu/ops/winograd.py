@@ -87,12 +87,14 @@ _AT = {
 #                 measured on TPU v5e — see module docstring)
 #   "winograd2" : F(2x2,3x3) for eligible 3x3 convs
 #   "winograd4" : F(4x4,3x3) for eligible 3x3 convs
+#   "int8"      : W8A8 im2col matmul for eligible high-channel 3x3 convs
+#                 (ops/im2col_int8.py)
 _CONV_IMPL = "xla"
 
 
 def set_conv_impl(mode: str):
     global _CONV_IMPL
-    assert mode in ("xla", "winograd2", "winograd4"), mode
+    assert mode in ("xla", "winograd2", "winograd4", "int8"), mode
     _CONV_IMPL = mode
 
 
@@ -221,7 +223,14 @@ def conv2d(x, kernel, strides=(1, 1), padding="SAME",
     """Conv dispatch honoring set_conv_impl; the Conv2D module entry point."""
     dtype = dtype or x.dtype
     impl = _CONV_IMPL
-    if impl != "xla" and winograd_eligible(
+    if impl == "int8":
+        from .im2col_int8 import int8_eligible, int8_im2col_conv
+
+        if int8_eligible(x.shape, kernel.shape, strides, padding,
+                         data_format):
+            return int8_im2col_conv(
+                x.astype(dtype), kernel, data_format=data_format)
+    elif impl != "xla" and winograd_eligible(
         x.shape, kernel.shape, strides, padding, data_format
     ):
         return winograd_conv2d(

@@ -19,12 +19,18 @@ Components:
 """
 from __future__ import annotations
 
+import json
 import os
-from typing import Any, Callable, Optional, Sequence
+import struct
+from typing import Any, Callable, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Container magic for artifacts that carry a metadata header next to the
+# StableHLO payload (raw jax.export payloads without it still load).
+_MAGIC = b"EALDMEXP1\n"
 
 
 def export_fn(fn: Callable, *example_args, platforms: Optional[Sequence[str]] = None):
@@ -39,19 +45,53 @@ def export_fn(fn: Callable, *example_args, platforms: Optional[Sequence[str]] = 
     return exp
 
 
-def save_exported(exported, path: str) -> str:
+def save_exported(exported, path: str, meta: Optional[dict] = None) -> str:
+    """Serialize an Exported to `path`, with a JSON metadata header
+    (framework version, target platforms, and any caller-supplied config)
+    so served artifacts are auditable without deserializing the program."""
+    from . import __version__ as pkg_version
+
+    header = {
+        "format": "ealdm-exported-v1",
+        "framework_version": pkg_version,
+        "jax_version": jax.__version__,
+        "platforms": list(exported.platforms),
+        "fn_name": exported.fun_name,
+    }
+    if meta:
+        header["config"] = meta
+    blob = json.dumps(header, sort_keys=True).encode()
     data = exported.serialize()
     with open(path, "wb") as f:
+        f.write(_MAGIC)
+        f.write(struct.pack("<Q", len(blob)))
+        f.write(blob)
         f.write(data)
     return path
 
 
-def load_exported(path: str) -> Callable:
-    """Load a serialized artifact and return its callable. Needs only jax —
-    no ealdm_tpu model code — in the serving process."""
+def read_artifact(path: str) -> Tuple[dict, bytes]:
+    """Split an artifact file into (metadata header, payload bytes).
+    Raw headerless payloads return an empty header."""
     with open(path, "rb") as f:
-        exp = jax.export.deserialize(f.read())
-    return jax.jit(exp.call)
+        raw = f.read()
+    if raw.startswith(_MAGIC):
+        off = len(_MAGIC)
+        (n,) = struct.unpack_from("<Q", raw, off)
+        off += 8
+        header = json.loads(raw[off:off + n].decode())
+        return header, raw[off + n:]
+    return {}, raw
+
+
+def load_exported(path: str, *, with_meta: bool = False):
+    """Load a serialized artifact and return its callable (optionally with
+    its metadata header). Needs only jax — no ealdm_tpu model code — in
+    the serving process."""
+    header, payload = read_artifact(path)
+    exp = jax.export.deserialize(payload)
+    fn = jax.jit(exp.call)
+    return (fn, header) if with_meta else fn
 
 
 def export_sampler(

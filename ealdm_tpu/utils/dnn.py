@@ -36,46 +36,57 @@ class EasyDict(dict):
         del self[name]
 
 
-class Logger:
-    """Tee stdout/stderr into a log file (reference dnnlib/util.py:56-118).
+class _Tee(io.TextIOBase):
+    """A writable text stream that fans each write out to several sinks."""
 
-    Use as a context manager or call close(); `mode="a"` appends.
+    def __init__(self, *sinks: IO, autoflush: bool = True):
+        self._sinks = sinks
+        self._autoflush = autoflush
+
+    def writable(self) -> bool:
+        return True
+
+    def write(self, text: str) -> int:
+        for s in self._sinks:
+            s.write(text)
+            if self._autoflush:
+                s.flush()
+        return len(text)
+
+    def flush(self) -> None:
+        for s in self._sinks:
+            s.flush()
+
+
+class Logger:
+    """Mirror everything printed to stdout/stderr into a log file.
+
+    Fills the role of `dnnlib.util.Logger` (reference dnnlib/util.py:56-118)
+    with a different construction: an ExitStack of
+    contextlib.redirect_stdout/redirect_stderr around a fan-out `_Tee`
+    stream, so teardown is exception-safe and nesting composes. Use as a
+    context manager, or call close(); `mode="a"` appends.
     """
 
     def __init__(self, file_name: Optional[str] = None, mode: str = "w",
                  should_flush: bool = True):
-        self.file: Optional[IO] = None
-        if file_name is not None:
-            self.file = open(file_name, mode)
-        self.should_flush = should_flush
-        self.stdout = sys.stdout
-        self.stderr = sys.stderr
-        sys.stdout = self
-        sys.stderr = self
+        import contextlib
 
-    def write(self, text: str) -> None:
-        if len(text) == 0:
-            return
-        if self.file is not None:
-            self.file.write(text)
-        self.stdout.write(text)
-        if self.should_flush:
-            self.flush()
-
-    def flush(self) -> None:
-        if self.file is not None:
-            self.file.flush()
-        self.stdout.flush()
+        self._file: Optional[IO] = (
+            open(file_name, mode) if file_name is not None else None
+        )
+        self._stack = contextlib.ExitStack()
+        sinks = (self._file,) if self._file is not None else ()
+        self._stack.enter_context(contextlib.redirect_stdout(
+            _Tee(sys.stdout, *sinks, autoflush=should_flush)))
+        self._stack.enter_context(contextlib.redirect_stderr(
+            _Tee(sys.stderr, *sinks, autoflush=should_flush)))
+        if self._file is not None:
+            self._stack.callback(self._file.close)
 
     def close(self) -> None:
-        self.flush()
-        if sys.stdout is self:
-            sys.stdout = self.stdout
-        if sys.stderr is self:
-            sys.stderr = self.stderr
-        if self.file is not None:
-            self.file.close()
-            self.file = None
+        self._stack.close()
+        self._file = None
 
     def __enter__(self) -> "Logger":
         return self

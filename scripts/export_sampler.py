@@ -80,7 +80,11 @@ def main():
         guidance_scale=opt.scale, streams=opt.streams, image_size=res,
         platforms=(opt.platform,) if opt.platform else None,
     )
-    save_exported(exported, opt.out)
+    save_exported(exported, opt.out, meta={
+        "steps": opt.steps, "eta": opt.eta, "guidance_scale": opt.scale,
+        "streams": opt.streams, "batch_size": b, "resolution": res,
+        "latent_shape": [zres, zres, zch],
+    })
     size = os.path.getsize(opt.out)
     print(f"Exported {opt.steps}-step sampler (batch {b}, {res}^2) "
           f"-> {opt.out} ({size / 1e6:.1f} MB)")

@@ -122,8 +122,17 @@ def test_artifact_runs_without_model_code(tmp_path, tiny_model):
     script = f"""
 import sys
 assert "ealdm_tpu" not in sys.modules
-import pickle, numpy as np, jax, jax.numpy as jnp
-exp = jax.export.deserialize(open({str(path)!r}, "rb").read())
+import json, pickle, struct, numpy as np, jax, jax.numpy as jnp
+raw = open({str(path)!r}, "rb").read()
+# the artifact container is stdlib-parseable: magic, u64 header len, JSON
+# header, StableHLO payload
+MAGIC = b"EALDMEXP1\\n"
+if raw.startswith(MAGIC):
+    (n,) = struct.unpack_from("<Q", raw, len(MAGIC))
+    header = json.loads(raw[len(MAGIC) + 8 : len(MAGIC) + 8 + n])
+    assert header["format"] == "ealdm-exported-v1", header
+    raw = raw[len(MAGIC) + 8 + n:]
+exp = jax.export.deserialize(raw)
 import pickle
 variables = pickle.load(open({str(tmp_path / 'vars.pkl')!r}, "rb"))
 variables = jax.tree_util.tree_map(jnp.asarray, variables)
@@ -247,3 +256,69 @@ def _reload_params_for(run_dir):
     state = mgr.restore_last(jax.device_get(state))
     params = state.ema.shadow if state.ema is not None else state.params
     return {"params": params}, res
+
+
+def test_cross_platform_export_tags_and_metadata(tmp_path, tiny_model):
+    """Export FOR TPU from this CPU host (the advertised artifact-build
+    story, serving.py docstring) and assert the artifact records its
+    target platform + config blob without needing a TPU to inspect."""
+    from ealdm_tpu.serving import read_artifact
+
+    model, variables = tiny_model
+    exported, _ = export_sampler(
+        model, variables, batch_size=2, latent_shape=(4, 4, 4), steps=2,
+        image_size=16, platforms=("tpu",),
+    )
+    assert tuple(exported.platforms) == ("tpu",)
+    path = save_exported(exported, str(tmp_path / "sampler_tpu.bin"),
+                         meta={"steps": 2, "note": "cross-platform"})
+    header, payload = read_artifact(path)
+    assert header["platforms"] == ["tpu"]
+    assert header["config"]["steps"] == 2
+    assert header["framework_version"]
+    assert len(payload) > 1000
+    # and the metadata-aware loader surfaces the same header
+    import jax
+
+    fn, header2 = __import__("ealdm_tpu.serving", fromlist=["load_exported"]) \
+        .load_exported(path, with_meta=True)
+    assert header2 == header
+
+
+def test_headerless_artifact_still_loads(tmp_path, tiny_model):
+    """Raw jax.export payloads (no container header) keep working."""
+    from ealdm_tpu.serving import load_exported, read_artifact
+
+    model, variables = tiny_model
+    exported, (variables, mixed, rng) = export_sampler(
+        model, variables, batch_size=2, latent_shape=(4, 4, 4), steps=2,
+        image_size=16,
+    )
+    raw_path = str(tmp_path / "raw.bin")
+    with open(raw_path, "wb") as f:
+        f.write(exported.serialize())
+    header, _ = read_artifact(raw_path)
+    assert header == {}
+    out = load_exported(raw_path)(variables, mixed, rng)
+    assert out.shape[0] == 2
+
+
+def test_maybe_initialize_distributed_positive_path(monkeypatch):
+    """Single-process positive path: coordinator env set -> initialize is
+    invoked with the parsed env (stubbed so the test stays hermetic; the
+    real bring-up needs a live coordinator port)."""
+    import ealdm_tpu.serving as serving
+
+    calls = {}
+
+    def fake_init(coordinator_address, num_processes, process_id):
+        calls.update(addr=coordinator_address, n=num_processes,
+                     pid=process_id)
+
+    monkeypatch.setenv("JAX_COORDINATOR", "localhost:12345")
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "1")
+    monkeypatch.setenv("JAX_PROCESS_ID", "0")
+    monkeypatch.setattr(
+        serving.jax.distributed, "initialize", fake_init)
+    assert serving.maybe_initialize_distributed() is True
+    assert calls == {"addr": "localhost:12345", "n": 1, "pid": 0}

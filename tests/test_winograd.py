@@ -114,3 +114,32 @@ def test_conv2d_module_under_winograd():
         set_conv_impl("xla")
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_int8_im2col_close_to_direct():
+    from ealdm_tpu.ops.im2col_int8 import int8_eligible, int8_im2col_conv
+
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.randn(2, 8, 8, 128), jnp.float32)
+    w = jnp.asarray(rng.randn(3, 3, 128, 128) / np.sqrt(9 * 128), jnp.float32)
+    ref = np.asarray(_direct(x, w))
+    got = np.asarray(int8_im2col_conv(x, w))
+    scale = np.abs(ref).mean()
+    # int8 W8A8: ~1% relative error envelope
+    assert np.abs(got - ref).mean() / scale < 3e-2
+    # HWNC path matches NHWC
+    got_h = np.asarray(int8_im2col_conv(
+        jnp.transpose(x, (1, 2, 0, 3)), w, data_format="HWNC"))
+    np.testing.assert_allclose(
+        np.asarray(jnp.transpose(jnp.asarray(got_h), (2, 0, 1, 3))), got,
+        rtol=1e-5, atol=1e-6)
+    assert not int8_eligible((1, 8, 8, 32), (3, 3, 32, 32), (1, 1), "SAME",
+                             "NHWC")
+    # dispatch integration
+    from ealdm_tpu.ops.winograd import conv2d, set_conv_impl
+    try:
+        set_conv_impl("int8")
+        got_d = np.asarray(conv2d(x, w))
+    finally:
+        set_conv_impl("xla")
+    np.testing.assert_allclose(got_d, got, rtol=1e-5, atol=1e-6)
