@@ -296,6 +296,11 @@ def main(batch_size: int = 24, steps: int = 50, tiny: bool = False,
     sync(out)
     compile_s = time.perf_counter() - t0
 
+    # once per run: full-array readback sanity so the FIFO-fence timing
+    # assumption is checked against a complete materialization
+    full = float(np.asarray(out, np.float32).sum())
+    assert np.isfinite(full), full
+
     iters = 3
     t0 = time.perf_counter()
     for i in range(iters):
