@@ -365,3 +365,69 @@ def test_text_transformer_parity_vs_reference_x_transformer(rng):
         ref = tm(torch.from_numpy(tokens), return_embeddings=True).numpy()
     ours = np.asarray(fm.apply({"params": params}, jnp.asarray(tokens)))
     np.testing.assert_allclose(ours, ref, **TOL)
+
+
+def test_plms_trajectory_parity_vs_reference_sampler(rng):
+    """5-step PLMS chain (Adams-Bashforth multistep warmup through order 4,
+    reference plms.py:172-236) on an identically-weighted tiny UNet: the
+    flax lax.scan sampler must reproduce the reference torch trajectory."""
+    from ldm.models.diffusion.plms import PLMSSampler
+    from ldm.modules.diffusionmodules.openaimodel import UNetModel as TorchUNet
+
+    from ealdm_tpu.models import UNetModel
+    from ealdm_tpu.ops.schedules import DDIMSchedule, DiffusionSchedule
+    from ealdm_tpu.samplers import DDIMConfig
+    from ealdm_tpu.samplers.plms import plms_sample
+
+    cfg = dict(
+        image_size=8, in_channels=4, out_channels=4, model_channels=32,
+        attention_resolutions=[2], num_res_blocks=1, channel_mult=[1, 2],
+        num_head_channels=16, use_spatial_transformer=True,
+        transformer_depth=1, context_dim=32,
+    )
+    torch.manual_seed(0)
+    tm = TorchUNet(**cfg).eval()
+    fm = UNetModel(**cfg)
+
+    b, steps, T = 2, 5, 20
+    x_T = rng.randn(b, 8, 8, 4).astype(np.float32)
+    ctx = rng.randn(b, 4, 32).astype(np.float32)
+
+    params = fm.init(
+        jax.random.PRNGKey(0), jnp.asarray(x_T), jnp.zeros((b,), jnp.int32),
+        jnp.asarray(ctx)
+    )["params"]
+    params, missing, _ = import_state_dict(_sd_numpy(tm), unet_key_map(cfg), params)
+    assert all(m.endswith(".skip_connection") for m in missing), missing[:8]
+
+    sched = DiffusionSchedule.create(
+        timesteps=T, linear_start=0.0015, linear_end=0.0195
+    )
+    stub = _StubLDM(tm, sched)
+
+    class _Patched(PLMSSampler):
+        def register_buffer(self, name, attr):
+            if isinstance(attr, torch.Tensor):
+                attr = attr.to(torch.device("cpu"))
+            setattr(self, name, attr)
+
+    sampler = _Patched(stub)
+    with torch.no_grad():
+        ref_out, _ = sampler.sample(
+            S=steps, batch_size=b, shape=(4, 8, 8),
+            conditioning=torch.from_numpy(ctx.copy()),
+            eta=0.0, verbose=False, x_T=_nchw(x_T),
+        )
+    ref = _to_nhwc(ref_out)
+
+    ddim = DDIMSchedule.create(sched, steps, eta=0.0)
+
+    def eps_fn(x, t, c):
+        return fm.apply({"params": params}, x, t, c)
+
+    ours = plms_sample(
+        eps_fn, jax.random.PRNGKey(1), (b, 8, 8, 4), ddim,
+        DDIMConfig(num_steps=steps, eta=0.0), cond=jnp.asarray(ctx),
+        x_T=jnp.asarray(x_T),
+    )
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=5e-4, atol=5e-4)
