@@ -108,6 +108,17 @@ class SpatialRescaler(nn.Module):
         return x
 
 
+# OpenAI CLIP release geometries (clip/model.py): version -> tower dims.
+CLIP_VERSIONS = {
+    # text: (width, layers, heads, embed); vision: (width, layers, heads,
+    # patch, embed)
+    "ViT-B/32": {"text": (512, 12, 8, 512), "vision": (768, 12, 12, 32, 512)},
+    "ViT-B/16": {"text": (512, 12, 8, 512), "vision": (768, 12, 12, 16, 512)},
+    "ViT-L/14": {"text": (768, 12, 12, 768),
+                 "vision": (1024, 24, 16, 14, 768)},
+}
+
+
 class FrozenCLIPTextEmbedder(nn.Module):
     """Frozen CLIP text embedder (reference encoders/modules.py:138-170,
     `clip.load('ViT-L/14')`): tokenized text -> EOT-pooled CLIP feature,
@@ -142,6 +153,13 @@ class FrozenCLIPTextEmbedder(nn.Module):
             dtype=self.dtype,
         )
 
+    @classmethod
+    def from_version(cls, version: str = "ViT-L/14", **kw):
+        """Geometry matching `clip.load(version)` (the reference ctor's
+        `version` arg, encoders/modules.py:142)."""
+        w, l, h, e = CLIP_VERSIONS[version]["text"]
+        return cls(n_embed=e, n_layer=l, width=w, n_heads=h, **kw)
+
     def tokenize(self, texts):
         return self._tokenizer(texts)
 
@@ -166,6 +184,12 @@ class FrozenClipImageEmbedder(nn.Module):
     n_layer: int = 12
     n_heads: int = 12
     dtype: Any = jnp.float32
+
+    @classmethod
+    def from_version(cls, version: str = "ViT-L/14", **kw):
+        w, l, h, p, e = CLIP_VERSIONS[version]["vision"]
+        return cls(out_dim=e, width=w, n_layer=l, n_heads=h, patch_size=p,
+                   **kw)
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -211,9 +235,11 @@ def build_encoder(target: str, params: Dict[str, Any], dtype=jnp.float32):
             kw["n_repeat"] = params["n_repeat"]
         if "normalize" in params:
             kw["normalize"] = params["normalize"]
-        return FrozenCLIPTextEmbedder(dtype=dtype, **kw)
+        version = params.get("version", "ViT-L/14")
+        return FrozenCLIPTextEmbedder.from_version(version, dtype=dtype, **kw)
     if name == "FrozenClipImageEmbedder":
-        return FrozenClipImageEmbedder(dtype=dtype)
+        version = params.get("model", "ViT-L/14")
+        return FrozenClipImageEmbedder.from_version(version, dtype=dtype)
     if name == "Identity":
         # torch.nn.Identity cond stage (retrieval-augmented-diffusion
         # 768x768.yaml): the conditioning is a precomputed embedding passed
