@@ -74,6 +74,15 @@ def train_bench(model, batch, b, res, device_kind, remat="dots", peak=197e12):
     sync(metrics)
     compile_s = time.perf_counter() - t0
 
+    iters = 8
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, metrics = step(state, batch, jax.random.PRNGKey(2 + i))
+    sync(metrics)
+    dt = (time.perf_counter() - t0) / iters
+
+    # FLOP accounting AFTER timing: the second (non-donating) executable
+    # this lowers must not sit in HBM next to the timed loop's buffers.
     try:
         ca = jax.jit(step).lower(
             state, batch, jax.random.PRNGKey(1)
@@ -83,13 +92,6 @@ def train_bench(model, batch, b, res, device_kind, remat="dots", peak=197e12):
         step_flops = float(ca.get("flops", float("nan")))
     except Exception:
         step_flops = float("nan")
-
-    iters = 8
-    t0 = time.perf_counter()
-    for i in range(iters):
-        state, metrics = step(state, batch, jax.random.PRNGKey(2 + i))
-    sync(metrics)
-    dt = (time.perf_counter() - t0) / iters
     measured_peak = measure_matmul_peak()
 
     result = {
