@@ -15,9 +15,25 @@ Run hermetically (CPU, no TPU claim):
 import os
 import sys
 import time
+import types
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 sys.path.insert(0, "/root/reference")
+
+# The reference UNet imports omegaconf (absent here) only for an isinstance
+# check on ListConfig — stub it, same as tests/test_torch_parity.py.
+if "omegaconf" not in sys.modules:
+    om = types.ModuleType("omegaconf")
+    lc = types.ModuleType("omegaconf.listconfig")
+
+    class ListConfig(list):
+        pass
+
+    lc.ListConfig = ListConfig
+    om.listconfig = lc
+    om.ListConfig = ListConfig
+    sys.modules["omegaconf"] = om
+    sys.modules["omegaconf.listconfig"] = lc
 
 UNET_CFG = dict(
     image_size=32, in_channels=4, out_channels=4, model_channels=256,
