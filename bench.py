@@ -20,6 +20,16 @@ import time
 
 A100_REFERENCE_IMG_PER_S = 3.0  # documented estimate, see module docstring
 
+# nominal bf16 peak per chip, by device_kind
+_NOMINAL_PEAK_FLOPS = {
+    "TPU v5 lite": 197e12, "TPU v5e": 197e12, "TPU v5": 459e12,
+    "TPU v4": 275e12, "TPU v6 lite": 918e12,
+}
+
+
+def nominal_peak(device_kind: str) -> float:
+    return _NOMINAL_PEAK_FLOPS.get(device_kind, 197e12)
+
 
 def measure_matmul_peak(n: int = 8192, iters: int = 4, trials: int = 3) -> float:
     """Achievable bf16 matmul FLOP/s on this chip/relay (the honest MFU
@@ -221,11 +231,8 @@ def main(batch_size: int = 24, steps: int = 50, tiny: bool = False,
 
     if train:
         device_kind = jax.devices()[0].device_kind
-        peak_tr = {
-            "TPU v5 lite": 197e12, "TPU v5e": 197e12, "TPU v5": 459e12,
-            "TPU v4": 275e12, "TPU v6 lite": 918e12,
-        }.get(device_kind, 197e12)
-        return train_bench(model, batch, b, res, device_kind, remat, peak_tr)
+        return train_bench(model, batch, b, res, device_kind, remat,
+                           nominal_peak(device_kind))
 
     sched = DiffusionSchedule.create(
         timesteps=1000, linear_start=0.0015, linear_end=0.0195
@@ -258,10 +265,7 @@ def main(batch_size: int = 24, steps: int = 50, tiny: bool = False,
     # XLA-reported FLOPs of the WHOLE program (cond tower + 50-step CFG
     # scan + VQ decode) -> MFU against the chip's nominal bf16 peak.
     device_kind = jax.devices()[0].device_kind
-    peak = {
-        "TPU v5 lite": 197e12, "TPU v5e": 197e12, "TPU v5": 459e12,
-        "TPU v4": 275e12, "TPU v6 lite": 918e12,
-    }.get(device_kind, 197e12)
+    peak = nominal_peak(device_kind)
     def _flops(f, *args):
         ca = jax.jit(f).lower(*args).compile().cost_analysis()
         if isinstance(ca, list):

@@ -222,7 +222,10 @@ class ImageNetSRLocal(ImageNetLocal):
 
     def __getitem__(self, i):
         ex = super().__getitem__(i)
-        hr_uint8 = ((ex["image"] + 1.0) * 127.5).astype(np.uint8)
+        # rint before the cast: the float32 [-1,1] round-trip leaves values
+        # like 2.9999998, which a bare uint8 cast would truncate to 2
+        hr_uint8 = np.rint((ex["image"] + 1.0) * 127.5).clip(0, 255).astype(
+            np.uint8)
         if self.degradation in ("bsrgan", "bsrgan_light"):
             from .degradation import (
                 degradation_fn_bsr, degradation_fn_bsr_light,

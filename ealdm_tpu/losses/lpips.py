@@ -93,9 +93,7 @@ def load_torch_lpips_weights(params: Any, state_dict: dict) -> Any:
     """
     import numpy as np
 
-    def to_np(v):
-        return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach")
-                          else v)
+    from ..utils.torch_import import to_numpy as to_np
 
     params = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy
     # torchvision VGG16 'features' conv indices, and the taming slice each

@@ -132,8 +132,16 @@ class CLIPTextTower(nn.Module):
             # EOT token = largest id in each sequence (OpenAI convention)
             eot = jnp.argmax(tokens, axis=-1)
         else:
-            eot = jnp.argmax((tokens == self.eot_id).astype(jnp.int32),
-                             axis=-1)
+            # First occurrence of the explicit id; sequences where it never
+            # occurs (e.g. real CLIP-BPE ids fed to a tower configured for a
+            # hermetic tokenizer) fall back to the OpenAI argmax convention
+            # instead of silently pooling at position 0 (SOT).
+            is_eot = tokens == self.eot_id
+            eot = jnp.where(
+                jnp.any(is_eot, axis=-1),
+                jnp.argmax(is_eot.astype(jnp.int32), axis=-1),
+                jnp.argmax(tokens, axis=-1),
+            )
         x = x[jnp.arange(x.shape[0]), eot]
         proj = self.param(
             "text_projection",
@@ -221,10 +229,10 @@ def load_torch_clip_state(state_dict: Dict[str, Any]):
     Either half may be absent (e.g. a text-only checkpoint); the missing
     tree is returned as None. Visual import supports the ViT trunk.
     """
+    from ..utils.torch_import import to_numpy
+
     def to_np(v):
-        a = np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach")
-                       else v)
-        return jnp.asarray(a, jnp.float32)
+        return jnp.asarray(to_numpy(v), jnp.float32)
 
     sd = state_dict
     text = visual = None

@@ -244,21 +244,18 @@ def load_torch_inception_state(state_dict: Dict[str, Any]) -> Dict:
       `<scope>.bn.running_var`    -> <scope>/bn_var
     `fc.*`, `AuxLogits.*` and bookkeeping buffers are ignored.
     """
+    from ..utils.torch_import import to_numpy, tree_put
+
     params: Dict = {}
 
     def put(path, v):
-        node = params
-        for p in path[:-1]:
-            node = node.setdefault(p, {})
-        node[path[-1]] = jnp.asarray(v)
+        tree_put(params, path, jnp.asarray(v))
 
     for key, val in state_dict.items():
         parts = key.split(".")
         if parts[0] in ("fc", "AuxLogits") or "num_batches_tracked" in key:
             continue
-        v = np.asarray(
-            val.detach().cpu().numpy() if hasattr(val, "detach") else val
-        )
+        v = to_numpy(val)
         scope, leaf = parts[:-2], ".".join(parts[-2:])
         if leaf == "conv.weight":
             put(scope + ["conv", "kernel"], np.transpose(v, (2, 3, 1, 0)))

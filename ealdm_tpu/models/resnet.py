@@ -2,11 +2,18 @@
 
 Capability parity with `torchvision.models.resnet50` as used by the STDiff
 tower's (bypassed) image branch (`/root/reference/STDiff/models.py:452`) and
-the third-stage feature extractor (`third_stage_model.py`). BatchNorm is
-implemented FROZEN (eval-mode running stats as plain parameters, eps=1e-5)
-— the trunk is only ever used as a frozen feature extractor here, and this
-makes a torchvision `state_dict()` import value-exact
-(`load_torch_resnet50_state`, oracle-tested in tests/test_eval_trunks.py).
+the third-stage feature extractor (`third_stage_model.py`).
+
+Two norm modes:
+  * `norm="group"` (default): GroupNorm(32). The right choice for the
+    zero-egress consumers that run the trunk at RANDOM init (third-stage
+    fc heads, retrieval embeddings) — frozen eval-mode BN is the identity
+    at init, so without a real normalizer residual addition compounds
+    activation variance ~2x per bottleneck and the pooled features explode.
+  * `norm="frozen_bn"`: eval-mode BatchNorm2d with running stats as plain
+    parameters (eps=1e-5) — construct with this to make a torchvision
+    `state_dict()` import value-exact (`load_torch_resnet50_state`,
+    oracle-tested in tests/test_eval_trunks.py).
 """
 from __future__ import annotations
 
@@ -35,10 +42,19 @@ class FrozenBatchNorm(nn.Module):
         return x * inv + (bias - mean * inv)
 
 
+def _make_norm(norm: str, features: int, name: str):
+    if norm == "frozen_bn":
+        return FrozenBatchNorm(features, name=name)
+    if norm == "group":
+        return nn.GroupNorm(num_groups=min(32, features), name=name)
+    raise ValueError(f"unknown norm mode: {norm!r}")
+
+
 class Bottleneck(nn.Module):
     features: int
     strides: int = 1
     expansion: int = 4
+    norm: str = "group"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -46,22 +62,22 @@ class Bottleneck(nn.Module):
         out_ch = self.features * self.expansion
         residual = x
         y = nn.Conv(self.features, (1, 1), use_bias=False, name="conv1", dtype=self.dtype)(x)
-        y = FrozenBatchNorm(self.features, name="bn1")(y)
+        y = _make_norm(self.norm, self.features, "bn1")(y)
         y = nn.relu(y)
         y = nn.Conv(
             self.features, (3, 3), strides=(self.strides, self.strides),
             padding=1, use_bias=False, name="conv2", dtype=self.dtype,
         )(y)
-        y = FrozenBatchNorm(self.features, name="bn2")(y)
+        y = _make_norm(self.norm, self.features, "bn2")(y)
         y = nn.relu(y)
         y = nn.Conv(out_ch, (1, 1), use_bias=False, name="conv3", dtype=self.dtype)(y)
-        y = FrozenBatchNorm(out_ch, name="bn3")(y)
+        y = _make_norm(self.norm, out_ch, "bn3")(y)
         if residual.shape[-1] != out_ch or self.strides != 1:
             residual = nn.Conv(
                 out_ch, (1, 1), strides=(self.strides, self.strides),
                 use_bias=False, name="downsample_conv", dtype=self.dtype,
             )(residual)
-            residual = FrozenBatchNorm(out_ch, name="downsample_bn")(residual)
+            residual = _make_norm(self.norm, out_ch, "downsample_bn")(residual)
         return nn.relu(y + residual)
 
 
@@ -70,6 +86,7 @@ class ResNet50(nn.Module):
 
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
     num_classes: int = 0  # 0 => feature extractor (no fc head)
+    norm: str = "group"  # "frozen_bn" for torchvision weight import
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -78,14 +95,14 @@ class ResNet50(nn.Module):
             64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
             name="conv1", dtype=self.dtype,
         )(x)
-        y = FrozenBatchNorm(64, name="bn1")(y)
+        y = _make_norm(self.norm, 64, "bn1")(y)
         y = nn.relu(y)
         y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         for stage, n_blocks in enumerate(self.stage_sizes):
             for b in range(n_blocks):
                 strides = 2 if stage > 0 and b == 0 else 1
                 y = Bottleneck(
-                    64 * 2**stage, strides=strides,
+                    64 * 2**stage, strides=strides, norm=self.norm,
                     name=f"layer{stage + 1}_{b}", dtype=self.dtype,
                 )(y)
         if pool or self.num_classes:
@@ -97,7 +114,10 @@ class ResNet50(nn.Module):
 
 def load_torch_resnet50_state(state_dict: Dict[str, Any],
                               stage_sizes=(3, 4, 6, 3)) -> Dict:
-    """torchvision resnet50 `state_dict()` -> flax params for ResNet50.
+    """torchvision resnet50 `state_dict()` -> flax params for
+    `ResNet50(norm="frozen_bn")` (the imported running stats live in
+    FrozenBatchNorm parameters; the default GroupNorm trunk has a different
+    parameter structure and cannot host them).
 
     torchvision naming translated:
       conv{k}.weight            -> conv{k}/kernel (OIHW -> HWIO)
@@ -107,17 +127,12 @@ def load_torch_resnet50_state(state_dict: Dict[str, Any],
       layer{s}.{b}.downsample.0 -> downsample_conv ; .1 -> downsample_bn
       fc.weight/bias            -> fc/kernel (T), fc/bias
     """
-    def to_np(v):
-        return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach")
-                          else v)
+    from ..utils.torch_import import to_numpy as to_np, tree_put
 
     params: Dict = {}
 
     def put(path, v):
-        node = params
-        for p in path[:-1]:
-            node = node.setdefault(p, {})
-        node[path[-1]] = jnp.asarray(v)
+        tree_put(params, path, jnp.asarray(v))
 
     def put_conv(path, key):
         put(path + ["kernel"], np.transpose(to_np(state_dict[key]),

@@ -76,8 +76,10 @@ class CLIPZeroShot:
         self.class_embeddings = self.text_model.apply(self._text_params, tokens)[
             :, 0, :
         ]
+        # params are a traced argument (not a closure constant) so that
+        # load_clip_weights takes effect even for already-traced shapes
         self._embed_images = jax.jit(
-            lambda imgs: self.image_model.apply(self._image_params, imgs)
+            lambda params, imgs: self.image_model.apply(params, imgs)
         )
 
     def load_clip_weights(self, state_dict, tokens=None):
@@ -100,7 +102,7 @@ class CLIPZeroShot:
 
     def logits(self, images) -> np.ndarray:
         """[B, n_classes] cosine-similarity logits for [-1,1] NHWC images."""
-        z = self._embed_images(jnp.asarray(images))
+        z = self._embed_images(self._image_params, jnp.asarray(images))
         return np.asarray(z @ self.class_embeddings.T)
 
     def agreement(self, images, labels_multi_hot: np.ndarray) -> float:

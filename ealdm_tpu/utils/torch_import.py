@@ -40,6 +40,19 @@ def _unflatten(flat: Dict[Tuple[str, ...], Any]) -> Dict:
     return tree
 
 
+def to_numpy(v: Any) -> np.ndarray:
+    """torch tensor or array-like -> np.ndarray (detached, on host)."""
+    return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+
+
+def tree_put(tree: Dict, path: Sequence[str], value: Any) -> None:
+    """Insert `value` at the nested `path` in a param dict, creating nodes."""
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
 def conv_to_flax(w: np.ndarray) -> np.ndarray:
     return np.transpose(w, (2, 3, 1, 0))  # OIHW -> HWIO
 

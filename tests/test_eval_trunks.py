@@ -282,8 +282,24 @@ def test_resnet50_import_parity():
         ref = twin(torch.from_numpy(img).permute(0, 3, 1, 2)).numpy()
     variables = load_torch_resnet50_state(twin.state_dict())
     got = np.asarray(
-        ResNet50().apply(variables, jnp.asarray(img), pool=True))
+        ResNet50(norm="frozen_bn").apply(variables, jnp.asarray(img),
+                                         pool=True))
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_resnet50_random_init_features_are_normalized():
+    """The default (GroupNorm) trunk must not blow up at random init — the
+    zero-egress consumers (third-stage heads, retrieval) run it unloaded,
+    where frozen eval-mode BN would be the identity and residual adds would
+    compound variance ~2^16 over the trunk."""
+    from ealdm_tpu.models.resnet import ResNet50
+
+    m = ResNet50()
+    img = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 3), jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), img)
+    feats = np.asarray(m.apply(v, img, pool=True))
+    assert np.isfinite(feats).all()
+    assert np.abs(feats).max() < 1e3, np.abs(feats).max()
 
 
 # ============================================================ taming LPIPS
@@ -494,6 +510,41 @@ def test_clip_import_parity():
                           heads=2, embed_dim=32)
     got_v = np.asarray(vis.apply({"params": visual_params}, jnp.asarray(img)))
     np.testing.assert_allclose(got_v, ref_v, rtol=2e-4, atol=2e-5)
+
+
+def test_clip_text_eot_fallback_for_foreign_token_ids():
+    """A tower configured with a hermetic-tokenizer eot_id must fall back to
+    the OpenAI argmax convention on sequences where that id never occurs
+    (real CLIP-BPE ids) instead of pooling at position 0 — otherwise every
+    prompt yields the SOT embedding (regression)."""
+    from ealdm_tpu.models.clip import CLIPTextTower
+
+    rng = np.random.RandomState(0)
+    # ids drawn from [10, 90): the hermetic eot_id=3 never occurs
+    tokens = rng.randint(10, 90, size=(3, 16)).astype(np.int32)
+    tokens[0, 5] = 99   # per-sequence EOT = max id, different positions
+    tokens[1, 11] = 99
+    tokens[2, 2] = 99
+
+    base = CLIPTextTower(vocab_size=100, context_length=16, width=64,
+                         layers=2, heads=2, embed_dim=32, eot_id=None)
+    params = base.init(jax.random.PRNGKey(0), jnp.asarray(tokens))
+    ref = np.asarray(base.apply(params, jnp.asarray(tokens)))
+
+    hermetic = CLIPTextTower(vocab_size=100, context_length=16, width=64,
+                             layers=2, heads=2, embed_dim=32, eot_id=3)
+    got = np.asarray(hermetic.apply(params, jnp.asarray(tokens)))
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+    # and sequences with distinct content must embed distinctly
+    assert not np.allclose(got[0], got[1])
+
+    # where the explicit id DOES occur, it takes precedence over argmax:
+    # the two conventions now pool different positions of the same input
+    tokens2 = tokens.copy()
+    tokens2[:, 7] = 3
+    got2 = np.asarray(hermetic.apply(params, jnp.asarray(tokens2)))
+    ref2 = np.asarray(base.apply(params, jnp.asarray(tokens2)))
+    assert not np.allclose(got2, ref2)
 
 
 def test_hf_clip_import_parity():

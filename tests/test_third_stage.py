@@ -117,6 +117,27 @@ def test_clip_zero_shot_scorer_is_image_based_and_pinned():
     assert label_agreement(logits, labels) in (0.0, 0.5, 1.0)
 
 
+def test_clip_zero_shot_weight_reload_affects_traced_shapes():
+    """Loading weights AFTER the image tower was already traced for a shape
+    must change subsequent logits for that same shape — the jit cache holds
+    the trace, not the parameters (regression: params were once baked into
+    the closure as constants)."""
+    from ealdm_tpu.third_stage import CLIPZeroShot
+
+    scorer = CLIPZeroShot(image_size=32)
+    rng = np.random.RandomState(1)
+    imgs = np.tanh(rng.randn(2, 32, 32, 3)).astype(np.float32)
+    before = scorer.logits(imgs)  # traces _embed_images for this shape
+    # swap in visibly different visual-tower params (same structure)
+    import jax
+
+    scorer._image_params = jax.tree_util.tree_map(
+        lambda x: x * 0.5 + 0.01, scorer._image_params
+    )
+    after = scorer.logits(imgs)
+    assert not np.allclose(before, after)
+
+
 def test_fid_trunk_is_seed_independent():
     """FID features must come from the pinned seed-0 trunk, not the per-run
     head trunk, so FID orderings are comparable across runs."""
