@@ -149,7 +149,44 @@ class MergedRescaleEncoder(nn.Module):
         )(h, deterministic=deterministic)
 
 
+class MergedRescaleDecoder(nn.Module):
+    """LatentRescaler -> Decoder (model.py:711-725): the rescaler widens
+    z_channels to z_channels*ch_mult[-1], which the decoder consumes."""
+
+    z_channels: int
+    out_ch: int
+    resolution: int
+    num_res_blocks: int
+    attn_resolutions: Sequence[int]
+    ch: int
+    ch_mult: Sequence[int] = (1, 2, 4, 8)
+    rescale_factor: float = 1.0
+    rescale_module_depth: int = 1
+    dropout: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, deterministic=True):
+        from .vae import Decoder
+
+        tmp_chn = self.z_channels * self.ch_mult[-1]
+        h = LatentRescaler(
+            self.rescale_factor, tmp_chn, tmp_chn,
+            self.rescale_module_depth, name="rescaler", dtype=self.dtype,
+        )(x, deterministic=deterministic)
+        return Decoder(
+            ch=self.ch, out_ch=self.out_ch, z_channels=tmp_chn,
+            ch_mult=tuple(self.ch_mult), num_res_blocks=self.num_res_blocks,
+            attn_resolutions=tuple(self.attn_resolutions),
+            dropout=self.dropout, resolution=self.resolution,
+            name="decoder", dtype=self.dtype,
+        )(h, deterministic=deterministic)
+
+
 class Upsampler(nn.Module):
+    """LatentRescaler -> Decoder ladder (model.py:728-761): log2(out/in)+1
+    decoder levels of uniform ch_mult upsample to out_size."""
+
     in_size: int
     out_size: int
     in_channels: int
@@ -159,13 +196,24 @@ class Upsampler(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, deterministic=True):
+        import math
+
+        from .vae import Decoder
+
         assert self.out_size >= self.in_size
-        factor = self.out_size / self.in_size
+        num_blocks = int(math.log2(self.out_size // self.in_size)) + 1
+        factor_up = 1.0 + (self.out_size % self.in_size)
         x = LatentRescaler(
-            factor, 2 * self.in_channels, self.out_channels,
+            factor_up, 2 * self.in_channels, self.in_channels,
             name="rescaler", dtype=self.dtype,
         )(x, deterministic=deterministic)
-        return x
+        return Decoder(
+            ch=self.in_channels, out_ch=self.out_channels,
+            z_channels=self.in_channels,
+            ch_mult=tuple(self.ch_mult for _ in range(num_blocks)),
+            num_res_blocks=2, attn_resolutions=(),
+            resolution=self.out_size, name="decoder", dtype=self.dtype,
+        )(x, deterministic=deterministic)
 
 
 class Resize(nn.Module):

@@ -8,9 +8,12 @@ from ealdm_tpu.models import EncoderUNetModel, NoisyLatentImageClassifier, ResNe
 from ealdm_tpu.models.vae_extras import (
     LatentRescaler,
     LinearAttention,
+    MergedRescaleDecoder,
+    MergedRescaleEncoder,
     SimpleDecoder,
     SpatialSelfAttention,
     UpsampleDecoder,
+    Upsampler,
 )
 from ealdm_tpu.util import count_params, ismap, isimage, log_txt_as_img, mean_flat
 
@@ -84,6 +87,33 @@ def test_vae_extras_shapes(rng):
     ssa = SpatialSelfAttention()
     p = ssa.init(jax.random.PRNGKey(0), x)
     assert ssa.apply(p, x).shape == x.shape
+
+
+def test_merged_rescale_and_upsampler_shapes(rng):
+    """model.py:692-761 composites: encoder+rescaler, rescaler+decoder,
+    and the log2-ladder Upsampler."""
+    img = jnp.asarray(rng.randn(1, 16, 16, 3).astype(np.float32))
+    enc = MergedRescaleEncoder(
+        ch=8, out_ch=4, resolution=16, num_res_blocks=1,
+        attn_resolutions=(), ch_mult=(1, 2), rescale_factor=1.0,
+    )
+    p = enc.init(jax.random.PRNGKey(0), img)
+    z = enc.apply(p, img)
+    assert z.shape == (1, 8, 8, 4)
+
+    dec = MergedRescaleDecoder(
+        z_channels=4, out_ch=3, resolution=16, num_res_blocks=1,
+        attn_resolutions=(), ch=8, ch_mult=(1, 2), rescale_factor=1.0,
+    )
+    p = dec.init(jax.random.PRNGKey(0), z)
+    out = dec.apply(p, z)
+    assert out.shape == (1, 16, 16, 3)
+
+    ups = Upsampler(in_size=8, out_size=16, in_channels=4, out_channels=3)
+    zz = jnp.asarray(rng.randn(1, 8, 8, 4).astype(np.float32))
+    p = ups.init(jax.random.PRNGKey(0), zz)
+    out = ups.apply(p, zz)
+    assert out.shape == (1, 16, 16, 3)
 
 
 def test_util_helpers():
