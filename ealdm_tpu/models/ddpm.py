@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from ..ops.patching import clamp_patch_params, patched_apply, unfold2d
 from ..ops.schedules import DiffusionSchedule, extract
+from .distributions import normal_kl
 from .stdiff import UnetCond
 from .unet import UNetModel
 from .vae import AutoencoderKL, IdentityFirstStage, VQModel
@@ -315,6 +316,24 @@ class LatentDiffusion(nn.Module):
             extract(s.sqrt_alphas_cumprod, t, x_start.ndim) * x_start
             + extract(s.sqrt_one_minus_alphas_cumprod, t, x_start.ndim) * noise
         )
+
+    def q_mean_variance(self, x_start, t):
+        """Moments of q(x_t | x_0) (ddpm.py:214-224)."""
+        s = self.schedule
+        mean = extract(s.sqrt_alphas_cumprod, t, x_start.ndim) * x_start
+        log_var = extract(s.log_one_minus_alphas_cumprod, t, x_start.ndim)
+        var = jnp.exp(log_var)
+        return mean, var, log_var
+
+    def prior_bpd(self, x_start):
+        """Prior KL term of the VLB in bits-per-dim (`_prior_bpd`,
+        ddpm.py:1022-1034): KL(q(x_T|x_0) || N(0, I)), one value per batch
+        element. Not trainable — diagnostic only."""
+        b = x_start.shape[0]
+        t = jnp.full((b,), self.schedule.num_timesteps - 1, dtype=jnp.int32)
+        qt_mean, _, qt_log_var = self.q_mean_variance(x_start, t)
+        kl = normal_kl(qt_mean, qt_log_var, 0.0, 0.0)
+        return kl.reshape(b, -1).mean(axis=1) / jnp.log(2.0)
 
     def predict_start_from_noise(self, x_t, t, noise):
         s = self.schedule

@@ -17,6 +17,7 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..ops.norms import silu
@@ -62,6 +63,54 @@ class VaeAttnBlock(nn.Module):
         return x + conv1x1(c, name="proj_out", dtype=self.dtype)(out)
 
 
+class VaeLinAttnBlock(nn.Module):
+    """Linear-attention block (`LinAttnBlock`, model.py:144-147, wrapping
+    `LinearAttention`, ldm/modules/attention.py:80-96).
+
+    Matches the reference exactly: fused bias-free 1x1 qkv projection,
+    softmax over the *spatial* axis of k, two einsum contractions, biased
+    1x1 output projection — and, faithfully to `LinAttnBlock`, NO residual
+    add and NO pre-norm (unlike the vanilla AttnBlock).
+    """
+
+    heads: int = 1
+    dim_head: Optional[int] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        d = self.dim_head or c
+        hidden = self.heads * d
+        qkv = nn.Conv(
+            hidden * 3, (1, 1), use_bias=False, name="to_qkv", dtype=self.dtype
+        )(x)
+        # torch channel layout is (qkv, heads, d) major->minor; NHWC keeps the
+        # same trailing-axis order, so a plain reshape reproduces the split.
+        qkv = qkv.reshape(b, h * w, 3, self.heads, d)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # each [b, n, heads, d]
+        k = jax.nn.softmax(k.astype(jnp.float32), axis=1).astype(v.dtype)
+        context = jnp.einsum("bnhd,bnhe->bhde", k, v)
+        out = jnp.einsum("bhde,bnhd->bnhe", context, q)
+        out = out.reshape(b, h, w, hidden)
+        return nn.Conv(c, (1, 1), name="to_out", dtype=self.dtype)(out)
+
+
+def make_attn(attn_type: str, *, name: str, dtype: Dtype = jnp.float32):
+    """`make_attn` (model.py:205-214): vanilla / linear / none dispatch.
+
+    Returns a callable applied to the NHWC feature map ("none" is identity
+    and materialises no params, matching the reference's nn.Identity).
+    """
+    if attn_type == "vanilla":
+        return VaeAttnBlock(name=name, dtype=dtype)
+    if attn_type == "linear":
+        return VaeLinAttnBlock(name=name, dtype=dtype)
+    if attn_type == "none":
+        return lambda h: h
+    raise ValueError(f"attn_type {attn_type!r} unknown")
+
+
 class VaeDownsample(nn.Module):
     """stride-2 conv with the VAE's asymmetric (0,1) zero pad, or avg-pool."""
 
@@ -101,6 +150,7 @@ class Encoder(nn.Module):
     resamp_with_conv: bool = True
     resolution: int = 256
     double_z: bool = True
+    attn_type: str = "vanilla"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -116,7 +166,10 @@ class Encoder(nn.Module):
                     dtype=self.dtype,
                 )(h, deterministic=deterministic)
                 if curr_res in self.attn_resolutions:
-                    h = VaeAttnBlock(name=f"down_{i_level}_attn_{i_block}", dtype=self.dtype)(h)
+                    h = make_attn(
+                        self.attn_type,
+                        name=f"down_{i_level}_attn_{i_block}", dtype=self.dtype,
+                    )(h)
             if i_level != num_res - 1:
                 h = VaeDownsample(
                     self.resamp_with_conv, name=f"down_{i_level}_downsample", dtype=self.dtype
@@ -126,7 +179,7 @@ class Encoder(nn.Module):
         h = VaeResnetBlock(dropout=self.dropout, name="mid_block_1", dtype=self.dtype)(
             h, deterministic=deterministic
         )
-        h = VaeAttnBlock(name="mid_attn_1", dtype=self.dtype)(h)
+        h = make_attn(self.attn_type, name="mid_attn_1", dtype=self.dtype)(h)
         h = VaeResnetBlock(dropout=self.dropout, name="mid_block_2", dtype=self.dtype)(
             h, deterministic=deterministic
         )
@@ -148,6 +201,7 @@ class Decoder(nn.Module):
     resolution: int = 256
     give_pre_end: bool = False
     tanh_out: bool = False
+    attn_type: str = "vanilla"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -160,7 +214,7 @@ class Decoder(nn.Module):
         h = VaeResnetBlock(dropout=self.dropout, name="mid_block_1", dtype=self.dtype)(
             h, deterministic=deterministic
         )
-        h = VaeAttnBlock(name="mid_attn_1", dtype=self.dtype)(h)
+        h = make_attn(self.attn_type, name="mid_attn_1", dtype=self.dtype)(h)
         h = VaeResnetBlock(dropout=self.dropout, name="mid_block_2", dtype=self.dtype)(
             h, deterministic=deterministic
         )
@@ -173,7 +227,10 @@ class Decoder(nn.Module):
                     dtype=self.dtype,
                 )(h, deterministic=deterministic)
                 if curr_res in self.attn_resolutions:
-                    h = VaeAttnBlock(name=f"up_{i_level}_attn_{i_block}", dtype=self.dtype)(h)
+                    h = make_attn(
+                        self.attn_type,
+                        name=f"up_{i_level}_attn_{i_block}", dtype=self.dtype,
+                    )(h)
             if i_level != 0:
                 h = VaeUpsample(
                     self.resamp_with_conv, name=f"up_{i_level}_upsample", dtype=self.dtype
@@ -197,6 +254,11 @@ def _ddkwargs(ddconfig: dict, decoder: bool = False) -> dict:
     out = {k: ddconfig[k] for k in keys if k in ddconfig}
     if "attn_resolutions" in out:
         out["attn_resolutions"] = tuple(out["attn_resolutions"])
+    # model.py:219-221: use_linear_attn forces attn_type="linear".
+    attn_type = ddconfig.get("attn_type", "vanilla")
+    if ddconfig.get("use_linear_attn", False):
+        attn_type = "linear"
+    out["attn_type"] = attn_type
     if "ch_mult" in out:
         out["ch_mult"] = tuple(out["ch_mult"])
     out["z_channels"] = ddconfig["z_channels"]

@@ -344,3 +344,27 @@ def test_apply_model_hybrid_dense_and_guard():
     assert out.shape == (2, 8, 8, 4)
     with _pytest.raises(ValueError, match="hybrid conditioning"):
         model.apply(v, x, t, jnp.zeros((2, 3, 32)), method=model.apply_model)
+
+
+def test_prior_bpd_golden():
+    """prior_bpd == KL(q(x_T|x_0) || N(0,I)) in bits/dim, fp64 closed form
+    (ddpm.py:1022-1034)."""
+    T = 10
+    model = DDPM(unet_config=TINY_UNET, timesteps=T,
+                 linear_start=0.0015, linear_end=0.0195)
+    batch = {"img": jnp.ones((2, 8, 8, 3)) * 0.3}
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, batch, jax.random.PRNGKey(1)
+    )
+    x = np.random.RandomState(3).randn(2, 8, 8, 3).astype(np.float32)
+    got = np.asarray(
+        model.apply(variables, jnp.asarray(x), method=model.prior_bpd)
+    )
+
+    betas = np.linspace(0.0015 ** 0.5, 0.0195 ** 0.5, T, dtype=np.float64) ** 2
+    acp = np.cumprod(1.0 - betas)[-1]
+    mean = np.sqrt(acp) * x.astype(np.float64)
+    logvar = np.log(1.0 - acp)
+    kl = 0.5 * (-1.0 - logvar + np.exp(logvar) + mean ** 2)
+    want = kl.reshape(2, -1).mean(axis=1) / np.log(2.0)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)

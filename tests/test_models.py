@@ -162,3 +162,31 @@ def test_equalized_dense_and_condscale_dc_init():
     np.testing.assert_allclose(
         np.asarray(out), 1.0 / np.sqrt(6), rtol=1e-3
     )
+
+
+def test_vae_attn_type_linear_and_none():
+    """make_attn dispatch (model.py:205-214) plumbed through Encoder:
+    'linear' builds VaeLinAttnBlock params, 'none' materialises none."""
+    from ealdm_tpu.models.vae import Encoder
+
+    x = jnp.ones((1, 16, 16, 3))
+    kw = dict(ch=8, z_channels=3, ch_mult=(1, 2), num_res_blocks=1,
+              attn_resolutions=(8,), resolution=16)
+
+    p_lin = Encoder(attn_type="linear", **kw).init(jax.random.PRNGKey(0), x)["params"]
+    assert "to_qkv" in p_lin["mid_attn_1"], sorted(p_lin["mid_attn_1"])
+
+    enc_none = Encoder(attn_type="none", **kw)
+    p_none = enc_none.init(jax.random.PRNGKey(0), x)["params"]
+    assert not any("attn" in k for k in p_none), sorted(p_none)
+    out = enc_none.apply({"params": p_none}, x)
+    assert out.shape == (1, 8, 8, 6)
+
+
+def test_vae_attn_type_from_ddconfig():
+    """use_linear_attn in ddconfig forces linear (model.py:219-221)."""
+    dd = dict(TINY_DD, use_linear_attn=True)
+    m = AutoencoderKL(ddconfig=dd, embed_dim=3)
+    p = m.init(jax.random.PRNGKey(0), jnp.ones((1, 32, 32, 3)),
+               rng=jax.random.PRNGKey(1))["params"]
+    assert "to_qkv" in p["encoder"]["mid_attn_1"]

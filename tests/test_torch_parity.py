@@ -431,3 +431,30 @@ def test_plms_trajectory_parity_vs_reference_sampler(rng):
         x_T=jnp.asarray(x_T),
     )
     np.testing.assert_allclose(np.asarray(ours), ref, rtol=5e-4, atol=5e-4)
+
+
+def test_vae_linear_attention_parity(rng):
+    """LinAttnBlock (model.py:144-147 / attention.py:80-96) weight-mapped
+    output parity: fused qkv split order, spatial softmax, einsum pair."""
+    from ldm.modules.diffusionmodules.model import LinAttnBlock
+
+    from ealdm_tpu.models.vae import VaeLinAttnBlock
+
+    c = 16
+    tm = LinAttnBlock(c).eval()
+    x = rng.randn(2, 6, 5, c).astype(np.float32)
+
+    fm = VaeLinAttnBlock()
+    params = fm.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+    sd = _sd_numpy(tm)
+    params = {
+        "to_qkv": {"kernel": np.transpose(sd["to_qkv.weight"], (2, 3, 1, 0))},
+        "to_out": {
+            "kernel": np.transpose(sd["to_out.weight"], (2, 3, 1, 0)),
+            "bias": sd["to_out.bias"],
+        },
+    }
+    with torch.no_grad():
+        ref = _to_nhwc(tm(_nchw(x)))
+    ours = np.asarray(fm.apply({"params": params}, jnp.asarray(x)))
+    np.testing.assert_allclose(ours, ref, **TOL)
