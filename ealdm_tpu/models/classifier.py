@@ -17,6 +17,18 @@ from ..ops.schedules import DiffusionSchedule
 from .unet import EncoderUNetModel
 
 
+def compute_top_k(logits, labels, k: int, reduction: str = "mean"):
+    """Top-k accuracy (`compute_top_k`, classifier.py:150-155): fraction of
+    rows whose label appears in the k highest logits."""
+    top_ks = jax.lax.top_k(logits, k)[1]
+    hit = jnp.sum((top_ks == labels[:, None]).astype(jnp.float32), axis=-1)
+    if reduction == "mean":
+        return jnp.mean(hit)
+    if reduction == "none":
+        return hit
+    raise ValueError(f"unknown reduction {reduction!r}")
+
+
 class NoisyLatentImageClassifier(nn.Module):
     """EncoderUNet over noised latents; loss = xent vs labels at random t."""
 
@@ -59,8 +71,34 @@ class NoisyLatentImageClassifier(nn.Module):
         logits = self.logits(z_noisy, t, deterministic=not train)
         onehot = jax.nn.one_hot(labels, self.num_classes)
         loss = -jnp.mean(jnp.sum(onehot * jax.nn.log_softmax(logits), axis=-1))
-        acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
-        return loss, {"loss": loss, "accuracy": acc}
+        # write_logs (classifier.py:162-171): acc@1 / acc@5 per step.
+        k5 = min(5, self.num_classes)
+        metrics = {
+            "loss": loss,
+            "accuracy": compute_top_k(logits, labels, 1),
+            "acc@1": compute_top_k(logits, labels, 1),
+            "acc@5": compute_top_k(logits, labels, k5),
+        }
+        return loss, metrics
+
+    def noisy_accuracy(self, z, labels, noise, log_every_t: int = 100):
+        """Per-timestep acc@1/acc@5 sweep over t = 0, log_every_t, ...
+        (`reset_noise_accs` + `validation_step`, classifier.py:203-218).
+        The reference loops one forward pass per grid point; here the grid is
+        folded into the batch axis so the whole sweep is a single large
+        MXU-friendly forward."""
+        b = z.shape[0]
+        ts = jnp.arange(0, self.diffusion_timesteps, log_every_t)
+        n_t = ts.shape[0]
+        t_rep = jnp.repeat(ts, b)  # [n_t*b]
+        z_rep = jnp.tile(z, (n_t,) + (1,) * (z.ndim - 1))
+        noise_rep = jnp.tile(noise, (n_t,) + (1,) * (noise.ndim - 1))
+        logits = self.logits(self.q_sample(z_rep, t_rep, noise_rep), t_rep)
+        labels_rep = jnp.tile(labels, (n_t,))
+        k5 = min(5, self.num_classes)
+        acc1 = compute_top_k(logits, labels_rep, 1, "none").reshape(n_t, b)
+        acc5 = compute_top_k(logits, labels_rep, k5, "none").reshape(n_t, b)
+        return {"t": ts, "acc@1": acc1.mean(axis=1), "acc@5": acc5.mean(axis=1)}
 
     def classifier_gradient(self, params, z_noisy, t, target_class):
         """d log p(y|z_t) / d z_t for classifier guidance."""

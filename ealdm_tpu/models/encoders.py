@@ -204,6 +204,30 @@ class FrozenClipImageEmbedder(nn.Module):
         return z / (jnp.linalg.norm(z, axis=-1, keepdims=True) + 1e-8)
 
 
+class HybridConditioner(nn.Module):
+    """Two config-built conditioners producing the hybrid context dict
+    (`HybridConditioner`, ldm/modules/diffusionmodules/util.py:251-261)."""
+
+    c_concat_config: Dict[str, Any]
+    c_crossattn_config: Dict[str, Any]
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.concat_conditioner = build_encoder(
+            self.c_concat_config["target"],
+            dict(self.c_concat_config.get("params", {})), dtype=self.dtype,
+        )
+        self.crossattn_conditioner = build_encoder(
+            self.c_crossattn_config["target"],
+            dict(self.c_crossattn_config.get("params", {})), dtype=self.dtype,
+        )
+
+    def __call__(self, c_concat, c_crossattn):
+        c_concat = self.concat_conditioner(c_concat)
+        c_crossattn = self.crossattn_conditioner(c_crossattn)
+        return {"c_concat": [c_concat], "c_crossattn": [c_crossattn]}
+
+
 def build_encoder(target: str, params: Dict[str, Any], dtype=jnp.float32):
     """Registry for reference cond-encoder targets -> TPU-native modules."""
     name = target.rsplit(".", 1)[-1]
@@ -240,6 +264,12 @@ def build_encoder(target: str, params: Dict[str, Any], dtype=jnp.float32):
     if name == "FrozenClipImageEmbedder":
         version = params.get("model", "ViT-L/14")
         return FrozenClipImageEmbedder.from_version(version, dtype=dtype)
+    if name == "HybridConditioner":
+        return HybridConditioner(
+            c_concat_config=params["c_concat_config"],
+            c_crossattn_config=params["c_crossattn_config"],
+            dtype=dtype,
+        )
     if name == "Identity":
         # torch.nn.Identity cond stage (retrieval-augmented-diffusion
         # 768x768.yaml): the conditioning is a precomputed embedding passed

@@ -134,3 +134,66 @@ def test_parallel_data_prefetch():
     assert out == [x * 2 for x in range(10)]
     arr = parallel_data_prefetch(lambda x: x + 1, np.arange(5), n_proc=2)
     np.testing.assert_array_equal(arr, np.arange(5) + 1)
+
+
+def test_compute_top_k_matches_reference_semantics():
+    """compute_top_k (classifier.py:150-155): label within k highest logits."""
+    from ealdm_tpu.models.classifier import compute_top_k
+
+    logits = jnp.asarray([
+        [0.1, 0.9, 0.5, 0.2],   # top1 = 1, top2 = {1, 2}
+        [0.8, 0.1, 0.2, 0.7],   # top1 = 0, top2 = {0, 3}
+    ])
+    labels = jnp.asarray([1, 3])
+    assert float(compute_top_k(logits, labels, 1)) == 0.5
+    assert float(compute_top_k(logits, labels, 2)) == 1.0
+    np.testing.assert_array_equal(
+        np.asarray(compute_top_k(logits, labels, 2, "none")), [1.0, 1.0]
+    )
+
+
+def test_noisy_accuracy_sweep():
+    """Per-timestep acc sweep (classifier.py:203-218) over the t grid."""
+    m = NoisyLatentImageClassifier(
+        classifier_config=dict(
+            image_size=8, in_channels=4, model_channels=8, num_res_blocks=1,
+            attention_resolutions=[], channel_mult=[1], num_head_channels=4,
+        ),
+        num_classes=7,
+        diffusion_timesteps=50,
+    )
+    z = jnp.ones((2, 8, 8, 4)) * 0.1
+    labels = jnp.array([1, 4])
+    params = m.init(
+        {"params": jax.random.PRNGKey(0)}, z, labels, jax.random.PRNGKey(1)
+    )
+    noise = jax.random.normal(jax.random.PRNGKey(3), z.shape)
+    out = m.apply(params, z, labels, noise, log_every_t=10,
+                  method=m.noisy_accuracy)
+    assert out["t"].shape == (5,)
+    assert out["acc@1"].shape == (5,)
+    assert np.all(np.asarray(out["acc@5"]) >= np.asarray(out["acc@1"]) - 1e-6)
+
+
+def test_hybrid_conditioner():
+    """HybridConditioner (diffusionmodules/util.py:251-261) builds both
+    sub-conditioners from configs and emits the hybrid context dict."""
+    from ealdm_tpu.models.encoders import HybridConditioner
+
+    m = HybridConditioner(
+        c_concat_config={
+            "target": "ldm.modules.encoders.modules.SpatialRescaler",
+            "params": {"n_stages": 1, "out_channels": 4, "in_channels": 3},
+        },
+        c_crossattn_config={
+            "target": "ldm.modules.encoders.modules.ClassEmbedder",
+            "params": {"embed_dim": 16, "n_classes": 10},
+        },
+    )
+    img = jnp.ones((2, 16, 16, 3))
+    cls = jnp.array([3, 7])
+    params = m.init(jax.random.PRNGKey(0), img, cls)
+    out = m.apply(params, img, cls)
+    assert set(out) == {"c_concat", "c_crossattn"}
+    assert out["c_concat"][0].shape == (2, 8, 8, 4)
+    assert out["c_crossattn"][0].shape[0] == 2
