@@ -317,3 +317,256 @@ def degradation_fn_bsr(img, sf=4, rng=None, lq_patchsize=None):
 def degradation_fn_bsr_light(img, sf=4, rng=None, lq_patchsize=None):
     return degradation_bsrgan(img, sf=sf, rng=rng, light=True,
                               lq_patchsize=lq_patchsize)
+
+
+# --------------------------------------------------- matlab-bicubic imresize
+def cubic(x):
+    """MATLAB's bicubic interpolation kernel (a = -0.5, support 2);
+    `utils_image.cubic` parity target."""
+    ax = np.abs(np.asarray(x, np.float64))
+    ax2, ax3 = ax * ax, ax * ax * ax
+    inner = 1.5 * ax3 - 2.5 * ax2 + 1.0
+    outer = -0.5 * ax3 + 2.5 * ax2 - 4.0 * ax + 2.0
+    return np.where(ax <= 1.0, inner, np.where(ax < 2.0, outer, 0.0))
+
+
+def _resize_weights(in_len: int, scale: float, antialiasing: bool):
+    """Dense [out_len, in_len] row-stochastic weight matrix for one axis of
+    MATLAB `imresize` (symmetric boundary, antialiased cubic on downscale)."""
+    out_len = int(np.ceil(in_len * scale))
+    # MATLAB source-space coordinate of each (1-based) output sample.
+    u = (np.arange(1, out_len + 1, dtype=np.float64)) / scale + 0.5 * (
+        1.0 - 1.0 / scale
+    )
+    kernel_width = 4.0
+    if scale < 1.0 and antialiasing:
+        kernel_width /= scale
+    p = int(np.ceil(kernel_width)) + 2
+    left = np.floor(u - kernel_width / 2.0)
+    # 1-based candidate source indices [out_len, p] and cubic weights.
+    idx = left[:, None] + np.arange(p, dtype=np.float64)[None, :]
+    dist = u[:, None] - idx
+    if scale < 1.0 and antialiasing:
+        w = scale * cubic(scale * dist)
+    else:
+        w = cubic(dist)
+    w = w / w.sum(axis=1, keepdims=True)
+    # symmetric boundary: reflect 0-based indices into [0, in_len).
+    j = idx.astype(np.int64) - 1
+    j = np.where(j < 0, -j - 1, j)
+    j = np.where(j >= in_len, 2 * in_len - 1 - j, j)
+    mat = np.zeros((out_len, in_len), np.float64)
+    np.add.at(mat, (np.arange(out_len)[:, None] * np.ones_like(j), j), w)
+    return mat
+
+
+def imresize_np(img: np.ndarray, scale: float, antialiasing: bool = True):
+    """MATLAB-semantics bicubic resize of an HWC/HW [0,1] numpy image
+    (`utils_image.imresize_np:839-907` parity — re-derived as separable
+    weight-matrix products rather than the reference's unfold loops)."""
+    squeeze = img.ndim == 2
+    x = np.asarray(img, np.float64)
+    if squeeze:
+        x = x[:, :, None]
+    wh = _resize_weights(x.shape[0], scale, antialiasing)
+    ww = _resize_weights(x.shape[1], scale, antialiasing)
+    out = np.einsum("oh,hwc->owc", wh, x)
+    out = np.einsum("ow,hwc->hoc", ww, out)
+    if squeeze:
+        out = out[:, :, 0]
+    return out.astype(np.asarray(img).dtype, copy=False)
+
+
+# ------------------------------------------------ named degradation variants
+def modcrop_np(img: np.ndarray, sf: int) -> np.ndarray:
+    """Crop H/W down to multiples of sf (`bsrgan.modcrop_np:29-43`)."""
+    h, w = img.shape[:2]
+    return np.copy(img[: h - h % sf, : w - w % sf, ...])
+
+
+def _wrap_blur(x: np.ndarray, k: np.ndarray) -> np.ndarray:
+    from scipy import ndimage
+
+    return ndimage.convolve(x, k[..., None] if x.ndim == 3 else k, mode="wrap")
+
+
+def bicubic_degradation(x, sf=3):
+    """Bicubic LR (`bsrgan.bicubic_degradation:228-237`)."""
+    return imresize_np(x, 1.0 / sf)
+
+
+def srmd_degradation(x, k, sf=3):
+    """Blur then bicubic downsample (`bsrgan.srmd_degradation:240-259`)."""
+    return bicubic_degradation(_wrap_blur(x, k), sf=sf)
+
+
+def dpsr_degradation(x, k, sf=3):
+    """Bicubic downsample then blur (`bsrgan.dpsr_degradation:262-281`)."""
+    return _wrap_blur(bicubic_degradation(x, sf=sf), k)
+
+
+def classical_degradation(x, k, sf=3):
+    """Blur then stride-sf subsample (`bsrgan.classical_degradation:284-297`)."""
+    return _wrap_blur(x, k)[0::sf, 0::sf, ...]
+
+
+def analytic_kernel(k: np.ndarray) -> np.ndarray:
+    """X4 kernel from an X2 kernel (`bsrgan.analytic_kernel:49-62`): the
+    stride-2-dilated kernel convolved with itself (the reference sums shifted
+    copies k[r,c]*k at stride-2 offsets — same operator), edge-cropped and
+    renormalised."""
+    from scipy.signal import convolve2d
+
+    k_size = k.shape[0]
+    dilated = np.zeros((2 * k_size - 1, 2 * k_size - 1), np.float64)
+    dilated[::2, ::2] = k
+    big = convolve2d(dilated, k, mode="full")  # (3*k_size-2)^2
+    crop = k_size // 2
+    cropped = big[crop:-crop, crop:-crop]
+    return cropped / cropped.sum()
+
+
+def _gaussian_blur_cv(img: np.ndarray, ksize: int) -> np.ndarray:
+    """cv2.GaussianBlur(img, (ksize,ksize), 0) semantics: sigma derived from
+    ksize, reflect-101 borders, per-channel separable filter."""
+    from scipy import ndimage
+
+    sigma = 0.3 * ((ksize - 1) * 0.5 - 1.0) + 0.8
+    r = np.arange(ksize, dtype=np.float64) - (ksize - 1) / 2.0
+    g = np.exp(-(r * r) / (2.0 * sigma * sigma))
+    g /= g.sum()
+    src = np.asarray(img, np.float64)
+    if src.ndim == 2:
+        src = src[:, :, None]
+    out = np.empty_like(src)
+    for ch in range(src.shape[2]):
+        tmp = ndimage.correlate1d(src[:, :, ch], g, axis=0, mode="mirror")
+        out[:, :, ch] = ndimage.correlate1d(tmp, g, axis=1, mode="mirror")
+    return out.reshape(np.asarray(img).shape).astype(
+        np.asarray(img).dtype, copy=False
+    )
+
+
+def add_sharpening(img, weight=0.5, radius=50, threshold=10):
+    """USM sharpening (`bsrgan.add_sharpening:299-322`): residual-masked
+    unsharp mask with a soft (blurred) mask."""
+    if radius % 2 == 0:
+        radius += 1
+    blur = _gaussian_blur_cv(img, radius)
+    residual = img - blur
+    mask = (np.abs(residual) * 255 > threshold).astype(np.float32)
+    soft_mask = _gaussian_blur_cv(mask, radius)
+    k = np.clip(img + weight * residual, 0, 1)
+    return soft_mask * k + (1 - soft_mask) * img
+
+
+def degradation_bsrgan_plus(
+    img: np.ndarray,
+    sf: int = 4,
+    shuffle_prob: float = 0.5,
+    use_sharp: bool = True,
+    lq_patchsize: int = 64,
+    rng: Optional[np.random.RandomState] = None,
+):
+    """BSRGAN+Real-ESRGAN combined pipeline
+    (`bsrgan.degradation_bsrgan_plus:617-703`): optional pre-sharpening, 13
+    stages under full or grouped-local shuffle (noise stages 2-5 and 9-12
+    shuffle locally, JPEG always last), final resize + JPEG, paired crop."""
+    rng = rng or np.random.RandomState(0)
+    h1, w1 = img.shape[:2]
+    x = np.clip(np.asarray(img, np.float32), 0.0, 1.0)
+    # (the reference mod-crops with swapped h/w bounds; honest mod-crop here)
+    x = modcrop_np(x, sf)
+    h, w = x.shape[:2]
+    if h < lq_patchsize * sf or w < lq_patchsize * sf:
+        raise ValueError(f"img size ({h1}X{w1}) is too small!")
+
+    if use_sharp:
+        x = add_sharpening(x)
+    hq = x.copy()
+
+    if rng.rand() < shuffle_prob:
+        order = list(rng.permutation(13))
+    else:
+        order = list(range(13))
+        order[2:6] = list(np.asarray(order[2:6])[rng.permutation(4)])
+        order[9:13] = list(np.asarray(order[9:13])[rng.permutation(4)])
+
+    poisson_prob, speckle_prob = 0.1, 0.1
+    for i in order:
+        if i in (0, 7):
+            x = add_blur(x, rng, sf=sf)
+        elif i in (1, 8):
+            x = add_resize(x, rng, sf=sf)
+        elif i in (2, 9):
+            x = add_gaussian_noise(x, rng, noise_level1=2, noise_level2=25)
+        elif i in (3, 10):
+            if rng.rand() < poisson_prob:
+                x = add_poisson_noise(x, rng)
+        elif i in (4, 11):
+            if rng.rand() < speckle_prob:
+                x = add_speckle_noise(x, rng)
+        elif i in (5, 12):
+            pass  # camera ISP hook: no isp_model in this environment
+        elif i == 6:
+            x = add_jpeg_noise(x, rng)
+
+    th, tw = int(hq.shape[0] / sf), int(hq.shape[1] / sf)
+    x = _resize(x, th, tw, rng)
+    x = add_jpeg_noise(x, rng)
+    return random_crop(x, hq, sf, lq_patchsize, rng)
+
+
+# ------------------------------------------------------------ image metrics
+def calculate_psnr(img1, img2, border=0):
+    """PSNR on [0,255] images (`utils_image.calculate_psnr:621-637`)."""
+    if img1.shape != img2.shape:
+        raise ValueError("Input images must have the same dimensions.")
+    h, w = img1.shape[:2]
+    a = np.asarray(img1, np.float64)[border : h - border, border : w - border]
+    b = np.asarray(img2, np.float64)[border : h - border, border : w - border]
+    mse = np.mean((a - b) ** 2)
+    if mse == 0:
+        return float("inf")
+    return 20.0 * np.log10(255.0 / np.sqrt(mse))
+
+
+def _ssim_single(img1, img2):
+    """MATLAB-style SSIM of one [0,255] channel (`utils_image.ssim:669-690`):
+    11x11 sigma-1.5 Gaussian window, valid-cropped moment maps."""
+    from scipy import ndimage
+
+    c1, c2 = (0.01 * 255) ** 2, (0.03 * 255) ** 2
+    a = np.asarray(img1, np.float64)
+    b = np.asarray(img2, np.float64)
+    r = np.arange(11, dtype=np.float64) - 5.0
+    g = np.exp(-(r * r) / (2.0 * 1.5 * 1.5))
+    g /= g.sum()
+
+    def filt(x):
+        y = ndimage.correlate1d(x, g, axis=0, mode="mirror")
+        return ndimage.correlate1d(y, g, axis=1, mode="mirror")[5:-5, 5:-5]
+
+    mu1, mu2 = filt(a), filt(b)
+    mu1s, mu2s, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    s1 = filt(a * a) - mu1s
+    s2 = filt(b * b) - mu2s
+    s12 = filt(a * b) - mu12
+    m = ((2 * mu12 + c1) * (2 * s12 + c2)) / ((mu1s + mu2s + c1) * (s1 + s2 + c2))
+    return m.mean()
+
+
+def calculate_ssim(img1, img2, border=0):
+    """Mean per-channel SSIM (`utils_image.calculate_ssim:642-666`)."""
+    if img1.shape != img2.shape:
+        raise ValueError("Input images must have the same dimensions.")
+    h, w = img1.shape[:2]
+    a = np.asarray(img1)[border : h - border, border : w - border]
+    b = np.asarray(img2)[border : h - border, border : w - border]
+    if a.ndim == 2:
+        return _ssim_single(a, b)
+    if a.ndim == 3 and a.shape[2] == 3:
+        return float(np.mean([_ssim_single(a[:, :, i], b[:, :, i]) for i in range(3)]))
+    if a.ndim == 3 and a.shape[2] == 1:
+        return _ssim_single(a[:, :, 0], b[:, :, 0])
+    raise ValueError("Wrong input image dimensions.")

@@ -131,6 +131,20 @@ class ImageSRDataset(ImageFolderDataset):
                 else degradation_fn_bsr
             )
             lr, _ = fn(arr.astype(np.float32) / 255.0, sf=self.sf, rng=self._rng)
+        elif self.degradation == "bsrgan_plus":
+            from .degradation import degradation_bsrgan_plus
+
+            lr, _ = degradation_bsrgan_plus(
+                arr.astype(np.float32) / 255.0, sf=self.sf,
+                lq_patchsize=self.size // self.sf, rng=self._rng,
+            )
+        elif self.degradation == "matlab_bicubic":
+            from .degradation import imresize_np
+
+            lr = np.clip(
+                imresize_np(arr.astype(np.float32) / 255.0, 1.0 / self.sf),
+                0.0, 1.0,
+            )
         else:
             lr = degrade_sr_light(arr, self.sf, self._rng).astype(np.float32) / 255.0
         return {

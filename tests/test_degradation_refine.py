@@ -124,3 +124,165 @@ def test_pipeline_deterministic_and_variant_divergence():
     heavy_err = np.abs(a1 - img[::4, ::4]).mean()
     light_err = np.abs(b - img[::4, ::4]).mean()
     assert np.isfinite(heavy_err) and np.isfinite(light_err)
+
+
+# ---------------------------------------------------------------------------
+# matlab-bicubic imresize + named degradations + metrics (round-3 additions)
+# ---------------------------------------------------------------------------
+def _reference_utils_image():
+    """Import the reference utils_image with absent heavy deps stubbed
+    (cv2 / torchvision are not installed; imresize_np only needs torch)."""
+    import sys
+    import types
+
+    for name in ("cv2", "albumentations"):
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tvu = types.ModuleType("torchvision.utils")
+        tvu.make_grid = lambda *a, **k: None
+        tv.utils = tvu
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.utils"] = tvu
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    import ldm.modules.image_degradation.utils_image as util
+
+    return util
+
+
+@pytest.mark.parametrize("scale", [0.25, 1.0 / 3.0, 0.5, 0.7, 2.0])
+def test_imresize_np_parity_vs_reference(rng, scale):
+    from ealdm_tpu.data.degradation import imresize_np
+
+    util = _reference_utils_image()
+    img = rng.rand(24, 20, 3).astype(np.float32)
+    ref = np.asarray(util.imresize_np(img.astype(np.float64), scale))
+    ours = imresize_np(img.astype(np.float64), scale)
+    assert ours.shape == ref.shape
+    # the reference computes its weight tables in float32
+    # (calculate_weights_indices uses torch.linspace defaults), so ~1e-7 is
+    # its own precision floor.
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_imresize_np_grayscale_and_dtype(rng):
+    from ealdm_tpu.data.degradation import imresize_np
+
+    img = rng.rand(16, 16).astype(np.float32)
+    out = imresize_np(img, 0.5)
+    assert out.shape == (8, 8) and out.dtype == np.float32
+
+
+def test_named_degradations_shapes_and_srmd_parity(rng):
+    from scipy import ndimage
+
+    from ealdm_tpu.data.degradation import (
+        bicubic_degradation,
+        classical_degradation,
+        dpsr_degradation,
+        gen_kernel,
+        srmd_degradation,
+    )
+
+    util = _reference_utils_image()
+    x = rng.rand(24, 24, 3).astype(np.float64)
+    k = np.asarray(gen_kernel(np.random.RandomState(1)), np.float64)
+    k = k / k.sum()
+
+    assert bicubic_degradation(x, sf=3).shape == (8, 8, 3)
+    assert dpsr_degradation(x, k, sf=3).shape == (8, 8, 3)
+    assert classical_degradation(x, k, sf=3).shape == (8, 8, 3)
+
+    # srmd == reference composition: wrap-convolve then reference bicubic
+    ref = util.imresize_np(
+        ndimage.convolve(x, k[..., None], mode="wrap"), 1.0 / 3.0
+    )
+    np.testing.assert_allclose(srmd_degradation(x, k, sf=3), ref, atol=1e-6)
+
+
+def test_analytic_kernel_matches_shifted_sum():
+    from ealdm_tpu.data.degradation import analytic_kernel
+
+    k = np.random.RandomState(0).rand(7, 7)
+    k /= k.sum()
+    # direct shifted-copy accumulation (the reference's published formula)
+    big = np.zeros((19, 19))
+    for r in range(7):
+        for c in range(7):
+            big[2 * r : 2 * r + 7, 2 * c : 2 * c + 7] += k[r, c] * k
+    want = big[3:-3, 3:-3]
+    want /= want.sum()
+    np.testing.assert_allclose(analytic_kernel(k), want, atol=1e-12)
+
+
+def test_add_sharpening_identity_and_effect(rng):
+    from ealdm_tpu.data.degradation import add_sharpening
+
+    flat = np.full((40, 40, 3), 0.5, np.float32)
+    np.testing.assert_allclose(add_sharpening(flat), flat, atol=1e-6)
+
+    # mid-range edge (0.3/0.7): unclipped headroom so USM must act
+    img = np.full((48, 48, 3), 0.3, np.float32)
+    img[20:28, 20:28] = 0.7
+    out = add_sharpening(img, weight=0.5, radius=10, threshold=10)
+    assert out.shape == img.shape
+    assert not np.allclose(out, img)
+    assert 0.0 <= out.min() and out.max() <= 1.0 + 1e-6
+
+
+def test_degradation_bsrgan_plus_contract(rng):
+    from ealdm_tpu.data.degradation import degradation_bsrgan_plus
+
+    img = rng.rand(72, 72, 3).astype(np.float32)
+    lq, hq = degradation_bsrgan_plus(
+        img, sf=4, lq_patchsize=16, rng=np.random.RandomState(2)
+    )
+    assert lq.shape == (16, 16, 3)
+    assert hq.shape == (64, 64, 3)
+    a, _ = degradation_bsrgan_plus(
+        img, sf=4, lq_patchsize=16, rng=np.random.RandomState(7)
+    )
+    b, _ = degradation_bsrgan_plus(
+        img, sf=4, lq_patchsize=16, rng=np.random.RandomState(7)
+    )
+    np.testing.assert_allclose(a, b)
+    with pytest.raises(ValueError, match="too small"):
+        degradation_bsrgan_plus(img, sf=4, lq_patchsize=64)
+
+
+def test_psnr_ssim_metrics(rng):
+    from ealdm_tpu.data.degradation import calculate_psnr, calculate_ssim
+
+    util = _reference_utils_image()
+    a = (rng.rand(32, 32, 3) * 255).astype(np.float64)
+    b = np.clip(a + rng.randn(32, 32, 3) * 10, 0, 255)
+
+    # PSNR: exact parity with the reference implementation
+    np.testing.assert_allclose(
+        calculate_psnr(a, b, border=2), util.calculate_psnr(a, b, border=2),
+        rtol=1e-12,
+    )
+    assert calculate_psnr(a, a) == float("inf")
+
+    # SSIM: self-similarity is 1, corruption strictly decreases it
+    assert abs(calculate_ssim(a, a) - 1.0) < 1e-9
+    s = calculate_ssim(a, b)
+    assert 0.0 < s < 1.0
+    gray = a[:, :, 0]
+    assert abs(calculate_ssim(gray, gray) - 1.0) < 1e-9
+
+
+def test_sr_dataset_plus_and_matlab_modes(tmp_path, rng):
+    from ealdm_tpu.data import ImageSRDataset
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    np.save(d / "a.npy", (rng.rand(64, 64, 3) * 255).astype(np.uint8))
+    for mode in ("bsrgan_plus", "matlab_bicubic"):
+        ds = ImageSRDataset(str(d), size=64, downscale_f=4, degradation=mode)
+        item = ds[0]
+        assert item["image"].shape == (64, 64, 3)
+        assert item["LR_image"].shape == (16, 16, 3)
+        assert -1.0 <= item["LR_image"].min() and item["LR_image"].max() <= 1.0
