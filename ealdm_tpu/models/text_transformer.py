@@ -78,10 +78,79 @@ class SimpleTokenizer:
         return jnp.asarray(out)
 
 
+class ScaleNormX(nn.Module):
+    """`ScaleNorm` (x_transformer.py:137-147): L2-norm scaled by dim^-0.5,
+    single learned scalar gain."""
+
+    dim: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        g = self.param("g", nn.initializers.ones, (1,))
+        n = jnp.linalg.norm(x, axis=-1, keepdims=True) * (self.dim**-0.5)
+        return x / jnp.clip(n, self.eps) * g
+
+
+class RMSNormX(nn.Module):
+    """`RMSNorm` (x_transformer.py:150-159): same normaliser as ScaleNorm
+    but a per-channel learned gain and eps 1e-8."""
+
+    dim: int
+    eps: float = 1e-8
+
+    @nn.compact
+    def __call__(self, x):
+        g = self.param("g", nn.initializers.ones, (self.dim,))
+        n = jnp.linalg.norm(x, axis=-1, keepdims=True) * (self.dim**-0.5)
+        return x / jnp.clip(n, self.eps) * g
+
+
+class RezeroGate(nn.Module):
+    """`Rezero` branch gate (x_transformer.py:126-134): zero-init learned
+    scalar on the attention branch output."""
+
+    @nn.compact
+    def __call__(self, x):
+        g = self.param("g", nn.initializers.zeros, (1,))
+        return x * g
+
+
+class GRUGate(nn.Module):
+    """`GRUGating` residual (x_transformer.py:168-180): torch GRUCell with
+    the branch output as input and the residual stream as hidden state.
+    Gate chunk order (r, z, n) matches torch's stacked weight layout."""
+
+    dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, out, residual):
+        gi = nn.Dense(3 * self.dim, name="gru_ih", dtype=self.dtype)(out)
+        gh = nn.Dense(3 * self.dim, name="gru_hh", dtype=self.dtype)(residual)
+        ri, zi, ni = jnp.split(gi, 3, axis=-1)
+        rh, zh, nh = jnp.split(gh, 3, axis=-1)
+        r = jax.nn.sigmoid(ri + rh)
+        z = jax.nn.sigmoid(zi + zh)
+        n = jnp.tanh(ni + r * nh)
+        return (1.0 - z) * n + z * residual
+
+
+def fixed_positional_embedding(n: int, dim: int, dtype=jnp.float32):
+    """`FixedPositionalEmbedding` sinusoid (x_transformer.py:36-47):
+    [n, dim] with sin block then cos block."""
+    inv_freq = 1.0 / (10000 ** (jnp.arange(0, dim, 2, dtype=jnp.float32) / dim))
+    t = jnp.arange(n, dtype=jnp.float32)
+    s = jnp.einsum("i,j->ij", t, inv_freq)
+    return jnp.concatenate([jnp.sin(s), jnp.cos(s)], axis=-1).astype(dtype)
+
+
 class XAttention(nn.Module):
     """x_transformer Attention (`x_transformer.py:215-368`): q/k/v project
     to heads*dim_head (64 per head by default, independent of model dim, no
-    bias), scaled dot-product with fp32 softmax, to_out back to dim."""
+    bias), scaled dot-product with fp32 softmax, to_out back to dim.
+    Supports shortformer position-infused inputs (`sinusoid`) and
+    residual-attention logit carry (`prev_attn`)."""
 
     dim: int
     heads: int = 8
@@ -89,11 +158,18 @@ class XAttention(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, context=None, *, deterministic: bool = True):
+    def __call__(
+        self, x, context=None, *, sinusoid=None, prev_attn=None,
+        return_attn: bool = False, deterministic: bool = True,
+    ):
         kv = x if context is None else context
+        q_in, k_in = x, kv
+        if sinusoid is not None:
+            q_in = q_in + sinusoid[None, : q_in.shape[1]]
+            k_in = k_in + sinusoid[None, : k_in.shape[1]]
         inner = self.heads * self.dim_head
-        q = nn.Dense(inner, use_bias=False, name="to_q", dtype=self.dtype)(x)
-        k = nn.Dense(inner, use_bias=False, name="to_k", dtype=self.dtype)(kv)
+        q = nn.Dense(inner, use_bias=False, name="to_q", dtype=self.dtype)(q_in)
+        k = nn.Dense(inner, use_bias=False, name="to_k", dtype=self.dtype)(k_in)
         v = nn.Dense(inner, use_bias=False, name="to_v", dtype=self.dtype)(kv)
         b, n, _ = q.shape
         m = k.shape[1]
@@ -101,24 +177,37 @@ class XAttention(nn.Module):
         k = k.reshape(b, m, self.heads, self.dim_head).transpose(0, 2, 1, 3)
         v = v.reshape(b, m, self.heads, self.dim_head).transpose(0, 2, 1, 3)
         dots = jnp.einsum("bhid,bhjd->bhij", q, k) * (self.dim_head**-0.5)
+        if prev_attn is not None:
+            dots = dots + prev_attn
+        pre_softmax = dots
         attn = jax.nn.softmax(dots.astype(jnp.float32), axis=-1).astype(v.dtype)
         out = jnp.einsum("bhij,bhjd->bhid", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
-        return nn.Dense(self.dim, name="to_out", dtype=self.dtype)(out)
+        out = nn.Dense(self.dim, name="to_out", dtype=self.dtype)(out)
+        if return_attn:
+            return out, pre_softmax
+        return out
 
 
 class XFeedForward(nn.Module):
     """x_transformer FeedForward (`x_transformer.py:194-212`): Linear ->
-    exact GELU -> Linear, mult 4, no GLU by default."""
+    exact GELU -> Linear, or GEGLU (`x_transformer.py:184-191`) when glu."""
 
     dim: int
     mult: int = 4
+    glu: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        h = nn.Dense(self.dim * self.mult, name="ff_in", dtype=self.dtype)(x)
-        h = nn.gelu(h, approximate=False)
+        inner = self.dim * self.mult
+        if self.glu:
+            proj = nn.Dense(inner * 2, name="ff_in", dtype=self.dtype)(x)
+            h, gate = jnp.split(proj, 2, axis=-1)
+            h = h * nn.gelu(gate, approximate=False)
+        else:
+            h = nn.Dense(inner, name="ff_in", dtype=self.dtype)(x)
+            h = nn.gelu(h, approximate=False)
         return nn.Dense(self.dim, name="ff_out", dtype=self.dtype)(h)
 
 
@@ -136,20 +225,99 @@ class TextTransformer(nn.Module):
     depth: int
     heads: int = 8
     dim_head: int = 64
+    # Encoder option surface (`x_transformer.py:370-462`), reference defaults.
+    use_scalenorm: bool = False
+    use_rmsnorm: bool = False
+    use_rezero: bool = False
+    gate_residual: bool = False
+    ff_glu: bool = False
+    macaron: bool = False
+    sandwich_coef: Optional[int] = None
+    position_infused_attn: bool = False
+    pre_norm: bool = True
+    residual_attn: bool = False
     dtype: Any = jnp.float32
+
+    @staticmethod
+    def layer_types_for(
+        depth: int, macaron: bool = False, sandwich_coef: Optional[int] = None
+    ):
+        """Layer-type sequence (`x_transformer.py:424-452`): ('a','f') blocks,
+        macaron prepends an extra 'f', sandwich front-loads attention."""
+        block = ("f", "a", "f") if macaron else ("a", "f")
+        if sandwich_coef is not None:
+            assert 0 < sandwich_coef <= depth, "sandwich coefficient out of range"
+            return (
+                ("a",) * sandwich_coef
+                + block * (depth - sandwich_coef)
+                + ("f",) * sandwich_coef
+            )
+        return block * depth
+
+    def _norm(self, name: str):
+        if self.use_rezero:
+            return lambda x: x  # norm_fn = nn.Identity (x_transformer.py:421)
+        if self.use_rmsnorm:
+            return RMSNormX(self.dim, name=name)
+        if self.use_scalenorm:
+            return ScaleNormX(self.dim, name=name)
+        return nn.LayerNorm(epsilon=1e-5, name=name)
 
     @nn.compact
     def __call__(self, tokens, *, deterministic: bool = True):
         b, l = tokens.shape
         x = nn.Embed(self.vocab_size, self.dim, name="token_emb")(tokens)
-        pos = nn.Embed(self.max_len, self.dim, name="pos_emb")(jnp.arange(l))
-        x = (x + pos[None]).astype(self.dtype)
-        for i in range(self.depth):
-            h = nn.LayerNorm(epsilon=1e-5, name=f"layer_{i}_attn_norm")(x)
-            x = x + XAttention(
-                self.dim, self.heads, self.dim_head,
-                name=f"layer_{i}_attn", dtype=self.dtype,
-            )(h, deterministic=deterministic)
-            h = nn.LayerNorm(epsilon=1e-5, name=f"layer_{i}_ff_norm")(x)
-            x = x + XFeedForward(self.dim, name=f"layer_{i}_ff", dtype=self.dtype)(h)
+        if self.position_infused_attn:
+            # shortformer mode: absolute pos-emb disabled, sinusoid goes into
+            # each attention's q/k inputs (x_transformer.py:405-406,596-599)
+            sinusoid = fixed_positional_embedding(l, self.dim, self.dtype)
+            x = x.astype(self.dtype)
+        else:
+            sinusoid = None
+            pos = nn.Embed(self.max_len, self.dim, name="pos_emb")(jnp.arange(l))
+            x = (x + pos[None]).astype(self.dtype)
+
+        layer_types = self.layer_types_for(
+            self.depth, self.macaron, self.sandwich_coef
+        )
+        prev_attn = None
+        a_idx = f_idx = 0
+        for j, lt in enumerate(layer_types):
+            is_last = j == len(layer_types) - 1
+            if lt == "a":
+                name = f"layer_{a_idx}_attn"
+                a_idx += 1
+            else:
+                name = f"layer_{f_idx}_ff"
+                f_idx += 1
+            norm = self._norm(f"{name}_norm")
+            residual = x
+            h = norm(x) if self.pre_norm else x
+            if lt == "a":
+                out, pre = XAttention(
+                    self.dim, self.heads, self.dim_head,
+                    name=name, dtype=self.dtype,
+                )(
+                    h, sinusoid=sinusoid, prev_attn=prev_attn,
+                    return_attn=True, deterministic=deterministic,
+                )
+                if self.use_rezero:
+                    # Rezero wraps only Attention (x_transformer.py:468-469)
+                    out = RezeroGate(name=f"{name}_rezero")(out)
+                if self.residual_attn:
+                    prev_attn = pre
+            else:
+                out = XFeedForward(
+                    self.dim, glu=self.ff_glu, name=name, dtype=self.dtype
+                )(h)
+                if self.macaron:
+                    out = 0.5 * out  # Scale(0.5, ff), x_transformer.py:463
+            if self.gate_residual:
+                x = GRUGate(self.dim, name=f"{name}_gate", dtype=self.dtype)(
+                    out, residual
+                )
+            else:
+                x = residual + out
+            if not self.pre_norm and not is_last:
+                x = norm(x)
         return nn.LayerNorm(epsilon=1e-5, name="norm")(x)

@@ -249,32 +249,78 @@ def vae_key_map(ddconfig: Dict, which: str = "both") -> List[Tuple[str, str, str
 
 # -------------------------------------------------- text transformer key map
 def text_transformer_key_map(
-    depth: int, torch_root: str = "", flax_root: str = ""
+    depth: int,
+    torch_root: str = "",
+    flax_root: str = "",
+    *,
+    use_scalenorm: bool = False,
+    use_rmsnorm: bool = False,
+    use_rezero: bool = False,
+    gate_residual: bool = False,
+    ff_glu: bool = False,
+    macaron: bool = False,
+    sandwich_coef: "Optional[int]" = None,
+    position_infused_attn: bool = False,
 ) -> List[Tuple[str, str, str]]:
     """Key map for the BERTEmbedder text trunk: reference TransformerWrapper
     + Encoder attn_layers (`x_transformer.py:370-641`, layers ModuleList of
-    [norm, block, residual] pairs: even index = attention, odd = feedforward)
-    onto models.text_transformer.TextTransformer."""
+    [norm, block, residual] triples) onto
+    models.text_transformer.TextTransformer, covering the Encoder option
+    surface (scalenorm/rmsnorm/rezero/GRU gating/GEGLU/macaron/sandwich/
+    position-infused)."""
+    from ..models.text_transformer import TextTransformer
+
     t = torch_root
     f = flax_root
     rules: List[Tuple[str, str, str]] = [
         (f"{t}token_emb", f"{f}token_emb", "embed"),
-        (f"{t}pos_emb.emb", f"{f}pos_emb", "embed"),
         (f"{t}norm", f"{f}norm", "norm"),
     ]
-    for i in range(depth):
-        a = f"{t}attn_layers.layers.{2 * i}"
-        ff = f"{t}attn_layers.layers.{2 * i + 1}"
-        rules += [
-            (f"{a}.0", f"{f}layer_{i}_attn_norm", "norm"),
-            (f"{a}.1.to_q", f"{f}layer_{i}_attn/to_q", "linear"),
-            (f"{a}.1.to_k", f"{f}layer_{i}_attn/to_k", "linear"),
-            (f"{a}.1.to_v", f"{f}layer_{i}_attn/to_v", "linear"),
-            (f"{a}.1.to_out", f"{f}layer_{i}_attn/to_out", "linear"),
-            (f"{ff}.0", f"{f}layer_{i}_ff_norm", "norm"),
-            (f"{ff}.1.net.0.0", f"{f}layer_{i}_ff/ff_in", "linear"),
-            (f"{ff}.1.net.2", f"{f}layer_{i}_ff/ff_out", "linear"),
-        ]
+    if not position_infused_attn:
+        rules.append((f"{t}pos_emb.emb", f"{f}pos_emb", "embed"))
+
+    scalar_norm = use_scalenorm or use_rmsnorm
+    layer_types = TextTransformer.layer_types_for(depth, macaron, sandwich_coef)
+    a_idx = f_idx = 0
+    for j, lt in enumerate(layer_types):
+        base = f"{t}attn_layers.layers.{j}"
+        if lt == "a":
+            fl = f"{f}layer_{a_idx}_attn"
+            a_idx += 1
+            # Rezero wraps the attention block: params live under .1.fn
+            blk = f"{base}.1.fn" if use_rezero else f"{base}.1"
+            if not use_rezero:
+                rules.append(
+                    (f"{base}.0.g", f"{fl}_norm/g", "param")
+                    if scalar_norm
+                    else (f"{base}.0", f"{fl}_norm", "norm")
+                )
+            else:
+                rules.append((f"{base}.1.g", f"{fl}_rezero/g", "param"))
+            rules += [
+                (f"{blk}.to_q", f"{fl}/to_q", "linear"),
+                (f"{blk}.to_k", f"{fl}/to_k", "linear"),
+                (f"{blk}.to_v", f"{fl}/to_v", "linear"),
+                (f"{blk}.to_out", f"{fl}/to_out", "linear"),
+            ]
+        else:
+            fl = f"{f}layer_{f_idx}_ff"
+            f_idx += 1
+            # macaron wraps every ff in Scale(0.5, fn): params under .1.fn
+            blk = f"{base}.1.fn" if macaron else f"{base}.1"
+            if not use_rezero:
+                rules.append(
+                    (f"{base}.0.g", f"{fl}_norm/g", "param")
+                    if scalar_norm
+                    else (f"{base}.0", f"{fl}_norm", "norm")
+                )
+            ff_in = f"{blk}.net.0.proj" if ff_glu else f"{blk}.net.0.0"
+            rules += [
+                (ff_in, f"{fl}/ff_in", "linear"),
+                (f"{blk}.net.2", f"{fl}/ff_out", "linear"),
+            ]
+        if gate_residual:
+            rules.append((f"{base}.2.gru", f"{fl}_gate", "gru"))
     return rules
 
 
@@ -302,6 +348,32 @@ def import_state_dict(
                 continue
             flat[fpath + ("embedding",)] = w
             loaded.append(fp)
+            continue
+        if kind == "param":
+            # raw tensor at the full torch key -> the exact flax leaf
+            w = sd.get(tkey)
+            if w is None:
+                missing.append(tkey)
+                continue
+            flat[fpath] = w
+            loaded.append(fp)
+            continue
+        if kind == "gru":
+            # torch GRUCell: weight_ih/weight_hh [3*dim, dim] stacked (r,z,n)
+            # -> two flax Dense layers gru_ih / gru_hh
+            ok = True
+            for suffix, dense in (("ih", "gru_ih"), ("hh", "gru_hh")):
+                w = sd.get(f"{tkey}.weight_{suffix}")
+                b = sd.get(f"{tkey}.bias_{suffix}")
+                if w is None:
+                    missing.append(f"{tkey}.weight_{suffix}")
+                    ok = False
+                    continue
+                flat[fpath + (dense, "kernel")] = linear_to_flax(w)
+                if b is not None:
+                    flat[fpath + (dense, "bias")] = b
+            if ok:
+                loaded.append(fp)
             continue
         w = sd.get(f"{tkey}.weight")
         b = sd.get(f"{tkey}.bias")

@@ -458,3 +458,103 @@ def test_vae_linear_attention_parity(rng):
         ref = _to_nhwc(tm(_nchw(x)))
     ours = np.asarray(fm.apply({"params": params}, jnp.asarray(x)))
     np.testing.assert_allclose(ours, ref, **TOL)
+
+
+@pytest.mark.parametrize(
+    "flags",
+    [
+        dict(use_scalenorm=True),
+        dict(use_rmsnorm=True),
+        dict(use_rezero=True),
+        dict(gate_residual=True),
+        dict(ff_glu=True),
+        dict(sandwich_coef=1),
+        dict(position_infused_attn=True),
+        dict(pre_norm=False),
+        dict(residual_attn=True),
+        dict(use_scalenorm=True, ff_glu=True, gate_residual=True),
+    ],
+    ids=lambda f: "+".join(f"{k}={v}" for k, v in f.items()),
+)
+def test_text_transformer_option_surface_parity(rng, flags):
+    """The Encoder option surface (x_transformer.py:370-539: scalenorm /
+    rmsnorm / rezero / GRU-gated residual / GEGLU / macaron / sandwich /
+    position-infused attention / post-norm / residual attention) matches the
+    reference with mapped weights, flag by flag."""
+    from ldm.modules.x_transformer import Encoder as TorchEncoderLayers
+    from ldm.modules.x_transformer import TransformerWrapper
+
+    from ealdm_tpu.models.text_transformer import TextTransformer
+    from ealdm_tpu.utils import text_transformer_key_map
+
+    vocab, seq, dim, depth = 96, 12, 64, 2
+    enc_flags = {k: v for k, v in flags.items() if k != "pre_norm"}
+    torch.manual_seed(0)
+    tm = TransformerWrapper(
+        num_tokens=vocab, max_seq_len=seq,
+        attn_layers=TorchEncoderLayers(dim=dim, depth=depth, **flags),
+    ).eval()
+
+    fm = TextTransformer(
+        vocab_size=vocab, max_len=seq, dim=dim, depth=depth, **flags
+    )
+    tokens = rng.randint(0, vocab, size=(2, seq)).astype(np.int64)
+    params = fm.init(jax.random.PRNGKey(0), jnp.asarray(tokens))["params"]
+    map_flags = {k: v for k, v in enc_flags.items() if k != "residual_attn"}
+    params, missing, _ = import_state_dict(
+        _sd_numpy(tm), text_transformer_key_map(depth, **map_flags), params
+    )
+    assert not missing, missing
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(tokens), return_embeddings=True).numpy()
+    ours = np.asarray(fm.apply({"params": params}, jnp.asarray(tokens)))
+    np.testing.assert_allclose(ours, ref, **TOL)
+
+
+def test_text_transformer_macaron(rng):
+    """Macaron mode. The reference's own macaron path is BROKEN (its Scale
+    wrapper returns a tuple which `Residual.forward` cannot add — TypeError
+    at x_transformer.py:115-123/476), so value parity is impossible; instead
+    assert the reference crash (documenting the delta) and verify our wiring
+    against a manual ('f','a','f') x 0.5-scaled composition of the same
+    layer modules and params."""
+    from ldm.modules.x_transformer import Encoder as TorchEncoderLayers
+    from ldm.modules.x_transformer import TransformerWrapper
+
+    import flax.linen as fnn
+
+    from ealdm_tpu.models.text_transformer import (
+        TextTransformer, XAttention, XFeedForward,
+    )
+
+    tm = TransformerWrapper(
+        num_tokens=50, max_seq_len=8,
+        attn_layers=TorchEncoderLayers(dim=32, depth=1, macaron=True),
+    ).eval()
+    with pytest.raises(TypeError):
+        with torch.no_grad():
+            tm(torch.zeros(1, 8, dtype=torch.long), return_embeddings=True)
+
+    vocab, seq, dim = 50, 8, 32
+    fm = TextTransformer(vocab_size=vocab, max_len=seq, dim=dim, depth=1,
+                         macaron=True)
+    assert TextTransformer.layer_types_for(2, macaron=True) == (
+        "f", "a", "f", "f", "a", "f")
+    tokens = rng.randint(0, vocab, size=(2, seq)).astype(np.int64)
+    params = fm.init(jax.random.PRNGKey(0), jnp.asarray(tokens))["params"]
+    got = np.asarray(fm.apply({"params": params}, jnp.asarray(tokens)))
+
+    # manual composition with the same params
+    p = params
+    ln = lambda name, x: fnn.LayerNorm(epsilon=1e-5).apply(
+        {"params": p[name]}, x)
+    x = np.asarray(p["token_emb"]["embedding"])[tokens] + np.asarray(
+        p["pos_emb"]["embedding"])[None, :seq]
+    x = jnp.asarray(x)
+    ff = lambda name, h: XFeedForward(dim).apply({"params": p[name]}, h)
+    x = x + 0.5 * ff("layer_0_ff", ln("layer_0_ff_norm", x))
+    x = x + XAttention(dim).apply(
+        {"params": p["layer_0_attn"]}, ln("layer_0_attn_norm", x))
+    x = x + 0.5 * ff("layer_1_ff", ln("layer_1_ff_norm", x))
+    want = np.asarray(ln("norm", x))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
