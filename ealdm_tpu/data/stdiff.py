@@ -65,6 +65,16 @@ def half_up_minute(ts, minutes: int = 15):
     return ref + round((ts - ref) / delta) * delta
 
 
+def load_data_from_h5(h5_path: str):
+    """Open an HDF5 capture file and return its (image, temps, depths,
+    dates) datasets (`STDiff/dataset_wlbl.py:224-232`). Returned objects are
+    lazy h5py datasets — index to materialise."""
+    import h5py
+
+    f = h5py.File(h5_path, "r")
+    return f["image"], f["temps"], f["depths"], f["dates"]
+
+
 def parse_response_jsonl(path: str) -> List[Tuple[str, List[str]]]:
     """Parse the GPT label response file into [(date 'YYYY-MM-DD', labels)].
 

@@ -101,13 +101,79 @@ class Searcher:
     def dim(self) -> int:
         return self.embeddings.shape[1]
 
-    def search(self, queries: np.ndarray, k: int = 10) -> Dict:
-        """queries [B, D] -> {'nn_indices' [B,k], 'nn_scores', 'nn_embeddings'}."""
+    def build_partitions(
+        self, num_leaves: int, iters: int = 10, seed: int = 0
+    ) -> None:
+        """Train a partitioned index (the `search_partioned_ah` tree of
+        `/root/reference/scripts/train_searcher.py:16-22`, sans the AH
+        quantisation — scoring stays exact): spherical k-means leaves, each
+        query probed against only the closest leaves. All assignment steps
+        are matmuls (MXU-shaped); leaves are stored as one padded [L, M]
+        index matrix so probing is a vectorised gather."""
+        emb = self.embeddings
+        n = emb.shape[0]
+        num_leaves = min(num_leaves, n)
+        rs = np.random.RandomState(seed)
+        centroids = emb[rs.choice(n, num_leaves, replace=False)].copy()
+        assign = None
+        for _ in range(iters):
+            assign = np.argmax(emb @ centroids.T, axis=1)
+            for j in range(num_leaves):
+                members = emb[assign == j]
+                if len(members):
+                    c = members.mean(axis=0)
+                    centroids[j] = c / max(np.linalg.norm(c), 1e-8)
+        leaves = [np.flatnonzero(assign == j) for j in range(num_leaves)]
+        max_leaf = max(1, max(len(m) for m in leaves))
+        leaf_idx = np.zeros((num_leaves, max_leaf), np.int64)
+        leaf_mask = np.zeros((num_leaves, max_leaf), bool)
+        for j, m in enumerate(leaves):
+            leaf_idx[j, : len(m)] = m
+            leaf_mask[j, : len(m)] = True
+        self._centroids = centroids
+        self._leaf_idx = leaf_idx
+        self._leaf_mask = leaf_mask
+
+    @property
+    def partitioned(self) -> bool:
+        return getattr(self, "_centroids", None) is not None
+
+    def search(
+        self,
+        queries: np.ndarray,
+        k: int = 10,
+        leaves_to_search: Optional[int] = None,
+    ) -> Dict:
+        """queries [B, D] -> {'nn_indices' [B,k], 'nn_scores', 'nn_embeddings'}.
+
+        With a partitioned index and `leaves_to_search`, only the best
+        partitions are scored (approximate, ScaNN-tree style); otherwise one
+        exact MXU matmul over the whole database."""
         import jax.lax
         import jax.numpy as jnp
 
         q = np.asarray(queries, np.float32)
         q = q / np.maximum(np.linalg.norm(q, axis=-1, keepdims=True), 1e-8)
+
+        if leaves_to_search is not None and self.partitioned:
+            n_probe = min(leaves_to_search, self._centroids.shape[0])
+            leaf_scores = q @ self._centroids.T  # [B, L]
+            top_leaves = np.argsort(-leaf_scores, axis=1)[:, :n_probe]
+            cand_idx = self._leaf_idx[top_leaves].reshape(q.shape[0], -1)
+            cand_mask = self._leaf_mask[top_leaves].reshape(q.shape[0], -1)
+            cand = self.embeddings[cand_idx]  # [B, C, D]
+            scores = np.einsum("bd,bcd->bc", q, cand)
+            scores = np.where(cand_mask, scores, -np.inf)
+            kk = min(k, scores.shape[1])
+            top = np.argsort(-scores, axis=1)[:, :kk]
+            rows = np.arange(q.shape[0])[:, None]
+            idx = cand_idx[rows, top]
+            return {
+                "nn_indices": idx,
+                "nn_scores": scores[rows, top],
+                "nn_embeddings": self.embeddings[idx],
+            }
+
         scores = jnp.asarray(q) @ jnp.asarray(self.embeddings).T  # one MXU matmul
         top_scores, top_idx = jax.lax.top_k(scores, min(k, self.num_entries))
         idx = np.asarray(top_idx)
@@ -118,9 +184,37 @@ class Searcher:
         }
 
     def save(self, path: str):
-        np.savez(path, embedding=self.embeddings, **self.metadata)
+        extra = {}
+        if self.partitioned:
+            extra = {
+                "_centroids": self._centroids,
+                "_leaf_idx": self._leaf_idx,
+                "_leaf_mask": self._leaf_mask,
+            }
+        np.savez(path, embedding=self.embeddings, **self.metadata, **extra)
 
     @classmethod
     def load(cls, path: str) -> "Searcher":
         db = dict(np.load(path, allow_pickle=True))
-        return cls.from_database(db)
+        part = {k: db.pop(k) for k in list(db) if k.startswith("_")}
+        s = cls.from_database(db)
+        if part:
+            s._centroids = part["_centroids"]
+            s._leaf_idx = part["_leaf_idx"]
+            s._leaf_mask = part["_leaf_mask"]
+        return s
+
+
+def auto_build_searcher(db: Dict, num_leaves: Optional[int] = None) -> Searcher:
+    """Size-based index selection mirroring the reference's ScaNN design
+    rules (`train_searcher.py:96-118`): brute force below 2e4 entries,
+    partitioned search (num_leaves = sqrt(N), probe num_leaves//20) above
+    1e5. The mid band also stays exact — on TPU one matmul over <1e5 x D is
+    faster than asymmetric hashing on CPU, which is the role AH played."""
+    s = Searcher.from_database(db)
+    n = s.num_entries
+    if n >= 1e5:
+        leaves = num_leaves or int(np.sqrt(n))
+        s.build_partitions(leaves)
+        s.default_leaves_to_search = max(leaves // 20, 1)
+    return s

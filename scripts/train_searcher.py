@@ -25,9 +25,12 @@ def main():
                    help="output index path (.npz)")
     p.add_argument("-k", "--knn", type=int, default=10)
     p.add_argument("--size", type=int, default=256)
+    p.add_argument("--num_leaves", type=int, default=None,
+                   help="force a partitioned index with this many leaves "
+                        "(default: size-based selection like the reference)")
     opt = p.parse_args()
 
-    from ealdm_tpu.retrieval import Searcher, build_image_database
+    from ealdm_tpu.retrieval import Searcher, auto_build_searcher, build_image_database
 
     if opt.database.endswith(".npz"):
         import numpy as np
@@ -35,7 +38,11 @@ def main():
         db = dict(np.load(opt.database))
     else:
         db = build_image_database(opt.database, size=opt.size)
-    searcher = Searcher.from_database(db)
+    if opt.num_leaves:
+        searcher = Searcher.from_database(db)
+        searcher.build_partitions(opt.num_leaves)
+    else:
+        searcher = auto_build_searcher(db)
     os.makedirs(os.path.dirname(opt.target_path) or ".", exist_ok=True)
     searcher.save(opt.target_path)
     print(

@@ -115,3 +115,68 @@ def test_model_from_config_flagship_yaml():
     assert model.cond_stage_key == "mixed"
     assert model.unet_config["model_channels"] == 256
     assert model.unconditional_guidance_scale == 2.0
+
+
+def test_searcher_partitioned_mode(rng):
+    """Partitioned (ScaNN-tree style) search: with enough probed leaves the
+    result matches exact search; with few leaves recall degrades gracefully;
+    partitions survive save/load (`train_searcher.py:16-22,96-118`)."""
+    from ealdm_tpu.retrieval import Searcher
+
+    db = rng.randn(200, 16).astype(np.float32)
+    s = Searcher(db)
+    s.build_partitions(num_leaves=8, iters=5)
+    assert s.partitioned
+
+    q = rng.randn(3, 16).astype(np.float32)
+    exact = s.search(q, k=5)
+    # probing every leaf must reproduce the exact result
+    approx_full = s.search(q, k=5, leaves_to_search=8)
+    np.testing.assert_array_equal(approx_full["nn_indices"], exact["nn_indices"])
+    np.testing.assert_allclose(
+        approx_full["nn_scores"], exact["nn_scores"], rtol=1e-5, atol=1e-5
+    )
+    # probing 2 leaves: top-1 should usually still be found (nearest leaf)
+    approx = s.search(q, k=5, leaves_to_search=2)
+    assert approx["nn_indices"].shape == (3, 5)
+    assert np.isfinite(approx["nn_scores"]).all()
+
+
+def test_searcher_partitions_save_load(tmp_path, rng):
+    from ealdm_tpu.retrieval import Searcher
+
+    s = Searcher(rng.randn(60, 8).astype(np.float32))
+    s.build_partitions(num_leaves=4, iters=3)
+    p = str(tmp_path / "idx.npz")
+    s.save(p)
+    s2 = Searcher.load(p)
+    assert s2.partitioned
+    q = rng.randn(2, 8).astype(np.float32)
+    a = s.search(q, k=3, leaves_to_search=2)
+    b = s2.search(q, k=3, leaves_to_search=2)
+    np.testing.assert_array_equal(a["nn_indices"], b["nn_indices"])
+
+
+def test_auto_build_searcher_thresholds(rng):
+    from ealdm_tpu.retrieval import auto_build_searcher
+
+    small = auto_build_searcher({"embedding": rng.randn(50, 4).astype(np.float32)})
+    assert not small.partitioned
+
+
+def test_load_data_from_h5(tmp_path):
+    import h5py
+
+    from ealdm_tpu.data.stdiff import load_data_from_h5
+
+    p = str(tmp_path / "cap.h5")
+    with h5py.File(p, "w") as f:
+        f["image"] = np.zeros((3, 8, 8, 3), np.uint8)
+        f["temps"] = np.arange(3.0)
+        f["depths"] = np.arange(3.0) * 2
+        f["dates"] = np.bytes_(["2021-01-01"] * 3)
+    images, temps, depths, dates = load_data_from_h5(p)
+    assert images.shape == (3, 8, 8, 3)
+    np.testing.assert_allclose(np.asarray(temps), [0.0, 1.0, 2.0])
+    np.testing.assert_allclose(np.asarray(depths), [0.0, 2.0, 4.0])
+    assert len(dates) == 3
