@@ -570,3 +570,58 @@ def calculate_ssim(img1, img2, border=0):
     if a.ndim == 3 and a.shape[2] == 1:
         return _ssim_single(a[:, :, 0], b[:, :, 0])
     raise ValueError("Wrong input image dimensions.")
+
+
+def _ycbcr_convert(img, matrix, offset):
+    """Shared MATLAB-style colourspace transform core. Unlike the reference
+    (`utils_image.py:529-600`, which mutates float inputs in place via
+    `img *= 255.`), this never modifies the caller's array."""
+    in_type = np.asarray(img).dtype
+    x = np.asarray(img, np.float64)
+    if in_type != np.uint8:
+        x = x * 255.0
+    out = x @ np.asarray(matrix, np.float64) + np.asarray(offset, np.float64)
+    if in_type == np.uint8:
+        out = out.round()
+    else:
+        out = out / 255.0
+    return out.astype(in_type)
+
+
+def rgb2ycbcr(img, only_y: bool = True):
+    """MATLAB rgb2ycbcr (`utils_image.rgb2ycbcr:529-550`)."""
+    if only_y:
+        in_type = np.asarray(img).dtype
+        x = np.asarray(img, np.float64)
+        if in_type != np.uint8:
+            x = x * 255.0
+        out = x @ np.asarray([65.481, 128.553, 24.966]) / 255.0 + 16.0
+        out = out.round() if in_type == np.uint8 else out / 255.0
+        return out.astype(in_type)
+    m = np.asarray(
+        [[65.481, -37.797, 112.0], [128.553, -74.203, -93.786],
+         [24.966, 112.0, -18.214]]
+    ) / 255.0
+    return _ycbcr_convert(img, m, [16.0, 128.0, 128.0])
+
+
+def bgr2ycbcr(img, only_y: bool = True):
+    """MATLAB-style conversion for BGR layouts
+    (`utils_image.bgr2ycbcr:573-594`): rgb2ycbcr with reversed rows."""
+    if only_y:
+        return rgb2ycbcr(np.asarray(img)[..., ::-1], only_y=True)
+    m = np.asarray(
+        [[24.966, 112.0, -18.214], [128.553, -74.203, -93.786],
+         [65.481, -37.797, 112.0]]
+    ) / 255.0
+    return _ycbcr_convert(img, m, [16.0, 128.0, 128.0])
+
+
+def ycbcr2rgb(img):
+    """MATLAB ycbcr2rgb (`utils_image.ycbcr2rgb:553-570`)."""
+    m = np.asarray(
+        [[0.00456621, 0.00456621, 0.00456621],
+         [0.0, -0.00153632, 0.00791071],
+         [0.00625893, -0.00318811, 0.0]]
+    ) * 255.0
+    return _ycbcr_convert(img, m, [-222.921, 135.576, -276.836])

@@ -342,6 +342,14 @@ class LatentDiffusion(nn.Module):
             - extract(s.sqrt_recipm1_alphas_cumprod, t, x_t.ndim) * noise
         )
 
+    def predict_eps_from_xstart(self, x_t, t, pred_xstart):
+        """Inverse of predict_start_from_noise (`_predict_eps_from_xstart`,
+        ddpm.py:1018-1020): recover eps from a predicted x0."""
+        s = self.schedule
+        return (
+            extract(s.sqrt_recip_alphas_cumprod, t, x_t.ndim) * x_t - pred_xstart
+        ) / extract(s.sqrt_recipm1_alphas_cumprod, t, x_t.ndim)
+
     def q_posterior(self, x_start, x_t, t):
         s = self.schedule
         mean = (

@@ -85,3 +85,26 @@ def normal_kl(mean1, logvar1, mean2, logvar2):
         + jnp.exp(logvar1 - logvar2)
         + jnp.square(mean1 - mean2) * jnp.exp(-logvar2)
     )
+
+
+class AbstractDistribution:
+    """Distribution interface (`distributions.py:1-10`)."""
+
+    def sample(self):
+        raise NotImplementedError()
+
+    def mode(self):
+        raise NotImplementedError()
+
+
+class DiracDistribution(AbstractDistribution):
+    """Point mass (`distributions.py:13-21`): sample == mode == value."""
+
+    def __init__(self, value):
+        self.value = value
+
+    def sample(self):
+        return self.value
+
+    def mode(self):
+        return self.value

@@ -286,3 +286,34 @@ def test_sr_dataset_plus_and_matlab_modes(tmp_path, rng):
         assert item["image"].shape == (64, 64, 3)
         assert item["LR_image"].shape == (16, 16, 3)
         assert -1.0 <= item["LR_image"].min() and item["LR_image"].max() <= 1.0
+
+
+def test_ycbcr_converters_parity(rng):
+    """rgb2ycbcr / bgr2ycbcr / ycbcr2rgb match the reference numerics on
+    fresh copies (the reference mutates float inputs in place — ours don't,
+    an intentional fix, so compare against pristine copies)."""
+    from ealdm_tpu.data.degradation import bgr2ycbcr, rgb2ycbcr, ycbcr2rgb
+
+    util = _reference_utils_image()
+    img_f = rng.rand(8, 9, 3).astype(np.float64)
+    img_u = (rng.rand(8, 9, 3) * 255).astype(np.uint8)
+
+    for only_y in (True, False):
+        np.testing.assert_allclose(
+            rgb2ycbcr(img_f, only_y), util.rgb2ycbcr(img_f.copy(), only_y),
+            atol=1e-10,
+        )
+        np.testing.assert_allclose(
+            bgr2ycbcr(img_f, only_y), util.bgr2ycbcr(img_f.copy(), only_y),
+            atol=1e-10,
+        )
+        np.testing.assert_array_equal(
+            rgb2ycbcr(img_u, only_y), util.rgb2ycbcr(img_u.copy(), only_y)
+        )
+    np.testing.assert_allclose(
+        ycbcr2rgb(img_f), util.ycbcr2rgb(img_f.copy()), atol=1e-10
+    )
+    # ours must NOT mutate the input
+    before = img_f.copy()
+    rgb2ycbcr(img_f, only_y=False)
+    np.testing.assert_array_equal(img_f, before)

@@ -368,3 +368,22 @@ def test_prior_bpd_golden():
     kl = 0.5 * (-1.0 - logvar + np.exp(logvar) + mean ** 2)
     want = kl.reshape(2, -1).mean(axis=1) / np.log(2.0)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_predict_eps_roundtrip_and_dirac():
+    """predict_eps_from_xstart inverts predict_start_from_noise
+    (ddpm.py:1018-1020); DiracDistribution is a point mass."""
+    from ealdm_tpu.models.distributions import DiracDistribution
+
+    model = DDPM(unet_config=TINY_UNET, timesteps=10)
+    batch = {"img": jnp.ones((2, 8, 8, 3)) * 0.3}
+    v = model.init({"params": jax.random.PRNGKey(0)}, batch, jax.random.PRNGKey(1))
+    x_t = jnp.asarray(np.random.RandomState(0).randn(2, 8, 8, 3).astype(np.float32))
+    eps = jnp.asarray(np.random.RandomState(1).randn(2, 8, 8, 3).astype(np.float32))
+    t = jnp.array([3, 7])
+    x0 = model.apply(v, x_t, t, eps, method=model.predict_start_from_noise)
+    eps_back = model.apply(v, x_t, t, x0, method=model.predict_eps_from_xstart)
+    np.testing.assert_allclose(np.asarray(eps_back), np.asarray(eps), rtol=1e-4, atol=1e-4)
+
+    d = DiracDistribution(x_t)
+    assert d.sample() is x_t and d.mode() is x_t
