@@ -351,10 +351,14 @@ def _resize_weights(in_len: int, scale: float, antialiasing: bool):
     else:
         w = cubic(dist)
     w = w / w.sum(axis=1, keepdims=True)
-    # symmetric boundary: reflect 0-based indices into [0, in_len).
+    # symmetric boundary (edge-inclusive mirror) with MULTI-reflection:
+    # period-2n fold handles kernels wider than the image (extreme
+    # downscales of small inputs), where a single reflection would leave
+    # indices out of range.
     j = idx.astype(np.int64) - 1
-    j = np.where(j < 0, -j - 1, j)
-    j = np.where(j >= in_len, 2 * in_len - 1 - j, j)
+    period = 2 * in_len
+    j = np.mod(j, period)
+    j = np.where(j >= in_len, period - 1 - j, j)
     mat = np.zeros((out_len, in_len), np.float64)
     np.add.at(mat, (np.arange(out_len)[:, None] * np.ones_like(j), j), w)
     return mat

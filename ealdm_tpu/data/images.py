@@ -134,10 +134,17 @@ class ImageSRDataset(ImageFolderDataset):
         elif self.degradation == "bsrgan_plus":
             from .degradation import degradation_bsrgan_plus
 
-            lr, _ = degradation_bsrgan_plus(
+            # the plus pipeline PRE-SHARPENS the HQ before degrading, so the
+            # training GT must be its returned hq, not the raw crop
+            # (Real-ESRGAN trains against the sharpened GT)
+            lr, hq = degradation_bsrgan_plus(
                 arr.astype(np.float32) / 255.0, sf=self.sf,
                 lq_patchsize=self.size // self.sf, rng=self._rng,
             )
+            return {
+                "image": hq.astype(np.float32) * 2.0 - 1.0,
+                "LR_image": lr.astype(np.float32) * 2.0 - 1.0,
+            }
         elif self.degradation == "matlab_bicubic":
             from .degradation import imresize_np
 

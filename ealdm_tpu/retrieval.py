@@ -146,15 +146,22 @@ class Searcher:
     ) -> Dict:
         """queries [B, D] -> {'nn_indices' [B,k], 'nn_scores', 'nn_embeddings'}.
 
-        With a partitioned index and `leaves_to_search`, only the best
-        partitions are scored (approximate, ScaNN-tree style); otherwise one
-        exact MXU matmul over the whole database."""
+        With a partitioned index and `leaves_to_search` (explicit, or the
+        `default_leaves_to_search` baked in by `auto_build_searcher` /
+        `load`), only the best partitions are scored (approximate,
+        ScaNN-tree style); otherwise one exact MXU matmul over the whole
+        database. When the probed leaves hold fewer than k valid members,
+        the tail slots are returned as nn_indices == -1 with -inf scores
+        and zero embeddings."""
+        import jax
         import jax.lax
         import jax.numpy as jnp
 
         q = np.asarray(queries, np.float32)
         q = q / np.maximum(np.linalg.norm(q, axis=-1, keepdims=True), 1e-8)
 
+        if leaves_to_search is None:
+            leaves_to_search = getattr(self, "default_leaves_to_search", None)
         if leaves_to_search is not None and self.partitioned:
             n_probe = min(leaves_to_search, self._centroids.shape[0])
             leaf_scores = q @ self._centroids.T  # [B, L]
@@ -168,13 +175,22 @@ class Searcher:
             top = np.argsort(-scores, axis=1)[:, :kk]
             rows = np.arange(q.shape[0])[:, None]
             idx = cand_idx[rows, top]
+            top_scores = scores[rows, top]
+            valid = np.isfinite(top_scores)
+            idx = np.where(valid, idx, -1)
+            emb = np.where(valid[..., None], self.embeddings[idx], 0.0)
             return {
                 "nn_indices": idx,
-                "nn_scores": scores[rows, top],
-                "nn_embeddings": self.embeddings[idx],
+                "nn_scores": top_scores,
+                "nn_embeddings": emb,
             }
 
-        scores = jnp.asarray(q) @ jnp.asarray(self.embeddings).T  # one MXU matmul
+        # fp32 matmul: scores must agree with the fp32 partitioned path
+        # (default TPU matmul precision is bf16-grade)
+        scores = jnp.matmul(
+            jnp.asarray(q), jnp.asarray(self.embeddings).T,
+            precision=jax.lax.Precision.HIGHEST,
+        )
         top_scores, top_idx = jax.lax.top_k(scores, min(k, self.num_entries))
         idx = np.asarray(top_idx)
         return {
@@ -191,6 +207,9 @@ class Searcher:
                 "_leaf_idx": self._leaf_idx,
                 "_leaf_mask": self._leaf_mask,
             }
+            dls = getattr(self, "default_leaves_to_search", None)
+            if dls is not None:
+                extra["_default_leaves_to_search"] = np.int64(dls)
         np.savez(path, embedding=self.embeddings, **self.metadata, **extra)
 
     @classmethod
@@ -202,6 +221,8 @@ class Searcher:
             s._centroids = part["_centroids"]
             s._leaf_idx = part["_leaf_idx"]
             s._leaf_mask = part["_leaf_mask"]
+            if "_default_leaves_to_search" in part:
+                s.default_leaves_to_search = int(part["_default_leaves_to_search"])
         return s
 
 

@@ -423,6 +423,22 @@ def export_state_dict(
             if fpath + ("embedding",) in flat:
                 out[f"{tkey}.weight"] = np.asarray(flat[fpath + ("embedding",)])
             continue
+        if kind == "param":
+            if fpath in flat:
+                out[tkey] = np.asarray(flat[fpath])
+            continue
+        if kind == "gru":
+            for suffix, dense in (("ih", "gru_ih"), ("hh", "gru_hh")):
+                kk = flat.get(fpath + (dense, "kernel"))
+                bb = flat.get(fpath + (dense, "bias"))
+                if kk is not None:
+                    # flax [in, 3d] -> torch [3d, in]
+                    out[f"{tkey}.weight_{suffix}"] = np.transpose(
+                        np.asarray(kk), (1, 0)
+                    )
+                if bb is not None:
+                    out[f"{tkey}.bias_{suffix}"] = np.asarray(bb)
+            continue
         k = flat.get(fpath + ("kernel",))
         s = flat.get(fpath + ("scale",))
         b = flat.get(fpath + ("bias",))

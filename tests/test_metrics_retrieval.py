@@ -180,3 +180,46 @@ def test_load_data_from_h5(tmp_path):
     np.testing.assert_allclose(np.asarray(temps), [0.0, 1.0, 2.0])
     np.testing.assert_allclose(np.asarray(depths), [0.0, 2.0, 4.0])
     assert len(dates) == 3
+
+
+def test_searcher_partitioned_padding_sentinels(rng):
+    """k larger than the probed leaves' population: tail slots must be
+    sentinel -1 indices with -inf scores and zero embeddings, never padded
+    index 0 masquerading as a neighbor."""
+    from ealdm_tpu.retrieval import Searcher
+
+    s = Searcher(rng.randn(12, 4).astype(np.float32))
+    s.build_partitions(num_leaves=6, iters=4)
+    q = rng.randn(2, 4).astype(np.float32)
+    out = s.search(q, k=10, leaves_to_search=1)
+    inval = ~np.isfinite(out["nn_scores"])
+    assert inval.any()  # one leaf of ~2 members cannot fill k=10
+    np.testing.assert_array_equal(out["nn_indices"][inval], -1)
+    assert (out["nn_embeddings"][inval] == 0).all()
+    valid = ~inval
+    assert (out["nn_indices"][valid] >= 0).all()
+
+
+def test_auto_searcher_default_probe_persisted(tmp_path, rng):
+    """auto_build_searcher's baked-in probe count is actually used by
+    search() and survives save/load (ScaNN bakes this into the built
+    searcher, train_searcher.py:108-118)."""
+    from ealdm_tpu.retrieval import Searcher, auto_build_searcher
+
+    db = {"embedding": rng.randn(300, 8).astype(np.float32)}
+    s = auto_build_searcher(db, num_leaves=None)
+    # small db: stays exact
+    assert not s.partitioned
+    s2 = Searcher.from_database(db)
+    s2.build_partitions(10)
+    s2.default_leaves_to_search = 2
+    p = str(tmp_path / "i.npz")
+    s2.save(p)
+    s3 = Searcher.load(p)
+    assert s3.default_leaves_to_search == 2
+    q = rng.randn(2, 8).astype(np.float32)
+    # implicit probing: same result as explicit leaves_to_search=2
+    np.testing.assert_array_equal(
+        s3.search(q, k=3)["nn_indices"],
+        s3.search(q, k=3, leaves_to_search=2)["nn_indices"],
+    )
