@@ -131,13 +131,21 @@ def test_pipeline_deterministic_and_variant_divergence():
 # ---------------------------------------------------------------------------
 def _reference_utils_image():
     """Import the reference utils_image with absent heavy deps stubbed
-    (cv2 / torchvision are not installed; imresize_np only needs torch)."""
+    (cv2 / torchvision are not installed; imresize_np only needs torch).
+
+    The stubs are REMOVED from sys.modules right after the import: leaving
+    a spec-less fake "cv2"/"torchvision" around breaks other tests in the
+    same process (transformers probes `importlib.util.find_spec("cv2")`,
+    which raises ValueError on a module whose __spec__ is None). The
+    already-imported reference module keeps its own references."""
     import sys
     import types
 
+    created = []
     for name in ("cv2", "albumentations"):
         if name not in sys.modules:
             sys.modules[name] = types.ModuleType(name)
+            created.append(name)
     if "torchvision" not in sys.modules:
         tv = types.ModuleType("torchvision")
         tvu = types.ModuleType("torchvision.utils")
@@ -145,9 +153,14 @@ def _reference_utils_image():
         tv.utils = tvu
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.utils"] = tvu
+        created += ["torchvision", "torchvision.utils"]
     if "/root/reference" not in sys.path:
         sys.path.insert(0, "/root/reference")
-    import ldm.modules.image_degradation.utils_image as util
+    try:
+        import ldm.modules.image_degradation.utils_image as util
+    finally:
+        for name in created:
+            sys.modules.pop(name, None)
 
     return util
 
