@@ -127,7 +127,7 @@ def train_bench(model, batch, b, res, device_kind, remat="dots", peak=197e12):
 def main(batch_size: int = 24, steps: int = 50, tiny: bool = False,
          unet_format: str = "HWNC", norm_impl: str = "xla",
          streams: int = 3, train: bool = False, remat: str = "dots",
-         conv_impl: str = "xla"):
+         conv_impl: str = "xla", unroll: int = 1):
     import jax
     import jax.numpy as jnp
     from ealdm_tpu.utils.cache import enable_compile_cache
@@ -238,7 +238,8 @@ def main(batch_size: int = 24, steps: int = 50, tiny: bool = False,
         timesteps=1000, linear_start=0.0015, linear_end=0.0195
     )
     ddim = DDIMSchedule.create(sched, steps, eta=1.0)
-    cfg = DDIMConfig(num_steps=steps, eta=1.0, unconditional_guidance_scale=2.0)
+    cfg = DDIMConfig(num_steps=steps, eta=1.0, unconditional_guidance_scale=2.0,
+                     unroll=unroll)
 
     def sample_program(variables, mixed, rng):
         """cond tower -> DDIM scan (CFG batched) -> VQ decode, one program."""
@@ -362,10 +363,12 @@ if __name__ == "__main__":
     p.add_argument("--train", action="store_true",
                    help="measure training step throughput instead of sampling")
     p.add_argument("--remat", default="dots", choices=["none", "dots", "full"])
+    p.add_argument("--unroll", type=int, default=1,
+                   help="lax.scan unroll factor for the DDIM loop")
     p.add_argument("--conv-impl", default="xla",
                    choices=["xla", "winograd2", "winograd4", "int8"],
                    help="3x3-conv lowering (winograd: recorded experiment, "
                         "see docs/PERF.md)")
     a = p.parse_args()
     main(a.batch_size, a.steps, a.tiny, a.unet_format, a.norm_impl, a.streams,
-         a.train, a.remat, a.conv_impl)
+         a.train, a.remat, a.conv_impl, a.unroll)
