@@ -243,9 +243,11 @@ class AttentionPool2d(nn.Module):
         tokens = tokens + pos[None, : tokens.shape[1]]
         qkv = nn.Dense(3 * c, name="qkv_proj", dtype=self.dtype)(tokens)
         heads = c // self.num_heads_channels
-        q, k, v = jnp.split(
-            qkv.reshape(b, n + 1, heads, 3 * self.num_heads_channels), 3, axis=-1
-        )
+        # the reference pools with QKVAttention in the NEW split order
+        # (openaimodel.py:388-397: chunk(3, dim=1) BEFORE the head split),
+        # i.e. channel layout (qkv, heads, ch) major->minor
+        qkv = qkv.reshape(b, n + 1, 3, heads, self.num_heads_channels)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         out = sdpa(
             q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)
         )
@@ -288,12 +290,21 @@ class EncoderUNetModel(nn.Module):
                 name=name, dtype=self.dtype,
             )
 
+        spatial_feats = []
+
+        def pool_feat(h):
+            # spatial pooling taps EVERY input block's output — conv_in,
+            # each res(+attn) block, and each downsample — plus the middle
+            # block (reference forward, openaimodel.py:947-955)
+            if self.pool.startswith("spatial"):
+                spatial_feats.append(jnp.mean(h, axis=(1, 2)))
+
         h = conv3x3(self.model_channels, name="conv_in", dtype=self.dtype)(
             x.astype(self.dtype)
         )
+        pool_feat(h)
         ch = self.model_channels
         ds = 1
-        spatial_feats = []
         for level, mult in enumerate(self.channel_mult):
             for i in range(self.num_res_blocks):
                 ch = mult * self.model_channels
@@ -304,6 +315,7 @@ class EncoderUNetModel(nn.Module):
                     )
                     h = AttentionBlock(num_heads=heads, name=f"down_{level}_{i}_attn",
                                        dtype=self.dtype)(h)
+                pool_feat(h)
             if level != len(self.channel_mult) - 1:
                 if self.resblock_updown:
                     h = res(ch, f"down_{level}_downres", down=True)(
@@ -313,8 +325,7 @@ class EncoderUNetModel(nn.Module):
                     h = Downsample(out_channels=ch, use_conv=self.conv_resample,
                                    name=f"down_{level}_down", dtype=self.dtype)(h)
                 ds *= 2
-            if self.pool.startswith("spatial"):
-                spatial_feats.append(jnp.mean(h, axis=(1, 2)))
+                pool_feat(h)
 
         h = res(ch, "mid_res1")(h, emb, deterministic=deterministic)
         heads, _ = _head_config(ch, self.num_heads, self.num_head_channels, False, False)
@@ -332,7 +343,7 @@ class EncoderUNetModel(nn.Module):
                 self.out_channels, name="out_pool", dtype=self.dtype,
             )(h)
         if self.pool.startswith("spatial"):
-            spatial_feats.append(jnp.mean(h, axis=(1, 2)))
+            pool_feat(h)
             feats = jnp.concatenate(spatial_feats, axis=-1)
             h = nn.Dense(2048, name="out_0", dtype=self.dtype)(feats)
             if self.pool == "spatial_v2":

@@ -4,6 +4,7 @@ from .torch_import import (
     export_state_dict,
     import_state_dict,
     load_torch_checkpoint,
+    encoder_unet_key_map,
     text_transformer_key_map,
     unet_key_map,
     vae_key_map,
@@ -13,6 +14,7 @@ __all__ = [
     "export_state_dict",
     "import_state_dict",
     "load_torch_checkpoint",
+    "encoder_unet_key_map",
     "text_transformer_key_map",
     "unet_key_map",
     "vae_key_map",

@@ -175,6 +175,91 @@ def unet_key_map(cfg: Dict) -> List[Tuple[str, str, str]]:
     return rules
 
 
+def encoder_unet_key_map(cfg: Dict) -> List[Tuple[str, str, str]]:
+    """[(torch_prefix, flax_prefix, kind)] for an EncoderUNetModel config
+    (reference ctor `openaimodel.py:745-922`): UNet down path + middle block
+    + one of the four pooling heads (adaptive / attention / spatial /
+    spatial_v2)."""
+    ch_mult = list(cfg.get("channel_mult", (1, 2, 4, 8)))
+    nrb = cfg["num_res_blocks"]
+    attn_res = set(cfg["attention_resolutions"])
+    resblock_updown = cfg.get("resblock_updown", False)
+    pool = cfg.get("pool", "adaptive")
+
+    rules: List[Tuple[str, str, str]] = [
+        ("time_embed.0", "time_embed_0", "linear"),
+        ("time_embed.2", "time_embed_2", "linear"),
+        ("input_blocks.0.0", "conv_in", "conv"),
+    ]
+
+    def res_rules(tp: str, fp: str):
+        rules.extend([
+            (f"{tp}.in_layers.0", f"{fp}/in_norm", "norm"),
+            (f"{tp}.in_layers.2", f"{fp}/in_conv", "conv"),
+            (f"{tp}.emb_layers.1", f"{fp}/emb_proj", "linear"),
+            (f"{tp}.out_layers.0", f"{fp}/out_norm", "norm"),
+            (f"{tp}.out_layers.3", f"{fp}/out_conv", "conv"),
+            (f"{tp}.skip_connection", f"{fp}/skip", "conv"),
+        ])
+
+    def attn_rules(tp: str, fp: str):
+        rules.extend([
+            (f"{tp}.norm", f"{fp}/norm", "norm"),
+            (f"{tp}.qkv", f"{fp}/qkv", "qkv"),
+            (f"{tp}.proj_out", f"{fp}/proj_out", "qkv"),
+        ])
+
+    idx = 1
+    ds = 1
+    for level in range(len(ch_mult)):
+        for i in range(nrb):
+            res_rules(f"input_blocks.{idx}.0", f"down_{level}_{i}_res")
+            if ds in attn_res:
+                attn_rules(f"input_blocks.{idx}.1", f"down_{level}_{i}_attn")
+            idx += 1
+        if level != len(ch_mult) - 1:
+            if resblock_updown:
+                res_rules(f"input_blocks.{idx}.0", f"down_{level}_downres")
+            else:
+                rules.append(
+                    (f"input_blocks.{idx}.0.op", f"down_{level}_down/op", "conv")
+                )
+            idx += 1
+            ds *= 2
+
+    res_rules("middle_block.0", "mid_res1")
+    attn_rules("middle_block.1", "mid_attn")
+    res_rules("middle_block.2", "mid_res2")
+
+    if pool == "adaptive":
+        rules += [
+            ("out.0", "out_norm", "norm"),
+            ("out.3", "out", "conv1x1_dense"),
+        ]
+    elif pool == "attention":
+        rules += [
+            ("out.0", "out_norm", "norm"),
+            ("out.2.positional_embedding", "out_pool/positional_embedding",
+             "param_t"),
+            ("out.2.qkv_proj", "out_pool/qkv_proj", "qkv"),
+            ("out.2.c_proj", "out_pool/c_proj", "qkv"),
+        ]
+    elif pool == "spatial":
+        rules += [
+            ("out.0", "out_0", "linear"),
+            ("out.2", "out_1", "linear"),
+        ]
+    elif pool == "spatial_v2":
+        rules += [
+            ("out.0", "out_0", "linear"),
+            ("out.1", "out_norm", "norm"),
+            ("out.3", "out_1", "linear"),
+        ]
+    else:
+        raise NotImplementedError(pool)
+    return rules
+
+
 # -------------------------------------------------------------- VAE key map
 def vae_key_map(ddconfig: Dict, which: str = "both") -> List[Tuple[str, str, str]]:
     ch_mult = list(ddconfig["ch_mult"])
@@ -358,6 +443,16 @@ def import_state_dict(
             flat[fpath] = w
             loaded.append(fp)
             continue
+        if kind == "param_t":
+            # raw 2D tensor, transposed (e.g. AttentionPool2d's [C, N+1]
+            # positional embedding -> flax [N+1, C])
+            w = sd.get(tkey)
+            if w is None:
+                missing.append(tkey)
+                continue
+            flat[fpath] = np.transpose(w, (1, 0))
+            loaded.append(fp)
+            continue
         if kind == "gru":
             # torch GRUCell: weight_ih/weight_hh [3*dim, dim] stacked (r,z,n)
             # -> two flax Dense layers gru_ih / gru_hh
@@ -394,6 +489,12 @@ def import_state_dict(
             # torch Conv1d (out, in, 1) -> Dense (in, out)
             if w is not None:
                 flat[fpath + ("kernel",)] = linear_to_flax(w[..., 0])
+            if b is not None:
+                flat[fpath + ("bias",)] = b
+        elif kind == "conv1x1_dense":
+            # torch Conv2d (out, in, 1, 1) -> Dense (in, out)
+            if w is not None:
+                flat[fpath + ("kernel",)] = linear_to_flax(w[..., 0, 0])
             if b is not None:
                 flat[fpath + ("bias",)] = b
         elif kind == "norm":

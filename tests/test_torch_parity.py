@@ -584,3 +584,38 @@ def test_text_transformer_export_roundtrip_new_kinds(rng):
     a = fm.apply({"params": params}, jnp.asarray(tokens))
     b = fm.apply({"params": params2}, jnp.asarray(tokens))
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("pool", ["adaptive", "attention", "spatial", "spatial_v2"])
+def test_encoder_unet_output_parity(rng, pool):
+    """EncoderUNetModel (openaimodel.py:745-961) weight-mapped output parity
+    for all four pooling heads. The attention head exercises the NEW
+    QKVAttention split order (qkv-major, openaimodel.py:388-397) inside
+    AttentionPool2d."""
+    from ldm.modules.diffusionmodules.openaimodel import (
+        EncoderUNetModel as TorchEncoderUNet,
+    )
+
+    from ealdm_tpu.models import EncoderUNetModel
+    from ealdm_tpu.utils import encoder_unet_key_map
+
+    cfg = dict(
+        image_size=16, in_channels=3, model_channels=32, out_channels=5,
+        num_res_blocks=1, attention_resolutions=[2], channel_mult=[1, 2],
+        num_head_channels=16, pool=pool,
+    )
+    torch.manual_seed(0)
+    tm = TorchEncoderUNet(**cfg).eval()
+
+    fm = EncoderUNetModel(**cfg)
+    x = rng.randn(2, 16, 16, 3).astype(np.float32)
+    t = np.array([2, 11], dtype=np.int64)
+    params = fm.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(t))["params"]
+    params, missing, _ = import_state_dict(
+        _sd_numpy(tm), encoder_unet_key_map(cfg), params
+    )
+    assert all(m.endswith(".skip_connection") for m in missing), missing[:8]
+    with torch.no_grad():
+        ref = tm(_nchw(x), torch.from_numpy(t)).numpy()
+    ours = np.asarray(fm.apply({"params": params}, jnp.asarray(x), jnp.asarray(t)))
+    np.testing.assert_allclose(ours, ref, **TOL)
