@@ -619,3 +619,106 @@ def test_encoder_unet_output_parity(rng, pool):
         ref = tm(_nchw(x), torch.from_numpy(t)).numpy()
     ours = np.asarray(fm.apply({"params": params}, jnp.asarray(x), jnp.asarray(t)))
     np.testing.assert_allclose(ours, ref, **TOL)
+
+
+def _stdiff_models():
+    """Import the reference STDiff.models with CPU-safe patches: its default
+    args call torch.cuda.current_device() at import time, and it imports
+    torchvision (absent). The torchvision stub is removed after import."""
+    import sys
+    import types
+
+    torch.cuda.current_device = lambda: "cpu"
+    created = []
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv.models = types.SimpleNamespace(resnet50=lambda **k: None)
+        sys.modules["torchvision"] = tv
+        created.append("torchvision")
+    if "pytorch_lightning" not in sys.modules:
+        pl = types.ModuleType("pytorch_lightning")
+
+        class LightningModule(torch.nn.Module):
+            pass
+
+        pl.LightningModule = LightningModule
+        sys.modules["pytorch_lightning"] = pl
+        created.append("pytorch_lightning")
+    try:
+        import STDiff.models as sm
+    finally:
+        for name in created:
+            sys.modules.pop(name, None)
+    return sm
+
+
+def test_stdiff_cond_components_parity(rng):
+    """Value parity for the STDiff conditioning components against the
+    actual reference modules (STDiff/models.py): ConditioningTransform
+    fourier features (:153-236), CondScale with w_affine + DC-init
+    c_to_scales (:283-310), AdaIN (:363-381), TimeEmbeddings (:339-359)."""
+    sm = _stdiff_models()
+
+    from ealdm_tpu.models.stdiff import (
+        AdaIN, CondScale, ConditioningTransform, day_year_time_embedding,
+    )
+    from ealdm_tpu.utils.dnn import EasyDict
+
+    ca = EasyDict(type="fourier", dequant="gauss", noise=0, noise_f_int=[],
+                  noise_f=[], dims=6, lr=1, lin_lr=0.01,
+                  f_manual=[1.84, 672], include_lin=True)
+
+    # --- ConditioningTransform (pure function, no weights)
+    t_xf = sm.ConditioningTransform(cond_args=ca, num_ws=3).eval()
+    f_xf = ConditioningTransform(dict(ca), num_ws=3)
+    c = rng.rand(4, 1).astype(np.float32)
+    with torch.no_grad():
+        ref = t_xf(torch.from_numpy(c), broadcast=True).numpy()
+    ours = np.asarray(f_xf(jnp.asarray(c), broadcast=True))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+
+    # --- CondScale (fourier branch + w_affine equalized FC)
+    torch.manual_seed(0)
+    t_cs = sm.CondScale(w_dim=5, c_dim=6, channels=8, cond_args=ca,
+                        device="cpu").eval()
+    f_cs = CondScale(channels=8, cond_args=dict(ca), w_dim=5)
+    w_in = rng.randn(4, 5).astype(np.float32)
+    c_in = np.asarray(ours[:, 0, :], np.float32)  # fourier feats [B, 6]
+    params = f_cs.init(jax.random.PRNGKey(0), jnp.asarray(w_in), jnp.asarray(c_in))["params"]
+    sd = _sd_numpy(t_cs)
+    params = {
+        "w_affine": {"weight": sd["w_affine.weight"], "bias": sd["w_affine.bias"]},
+        "c_to_scales_weight": sd["c_to_scales.weight"],
+    }
+    with torch.no_grad():
+        ref_s = t_cs(torch.from_numpy(w_in), torch.from_numpy(c_in)).numpy()
+    ours_s = np.asarray(
+        f_cs.apply({"params": params}, jnp.asarray(w_in), jnp.asarray(c_in))
+    )
+    np.testing.assert_allclose(ours_s, ref_s, rtol=1e-5, atol=1e-6)
+
+    # --- AdaIN
+    torch.manual_seed(1)
+    t_ad = sm.AdaIN(in_dim=8, w_dim=6, device="cpu").eval()
+    f_ad = AdaIN()
+    x = rng.randn(2, 7, 5, 8).astype(np.float32)
+    w = rng.randn(2, 6).astype(np.float32)
+    sd = _sd_numpy(t_ad)
+    ad_params = {
+        "linear": {
+            "kernel": np.transpose(sd["linear.weight"], (1, 0)),
+            "bias": sd["linear.bias"],
+        }
+    }
+    with torch.no_grad():
+        ref_a = _to_nhwc(t_ad(_nchw(x), torch.from_numpy(w)))
+    ours_a = np.asarray(f_ad.apply({"params": ad_params}, jnp.asarray(x), jnp.asarray(w)))
+    np.testing.assert_allclose(ours_a, ref_a, rtol=1e-4, atol=1e-4)
+
+    # --- TimeEmbeddings
+    t_te = sm.TimeEmbeddings(dim=4)
+    tt = rng.rand(5).astype(np.float32)
+    with torch.no_grad():
+        ref_t = t_te(torch.from_numpy(tt)).numpy()
+    ours_t = np.asarray(day_year_time_embedding(jnp.asarray(tt)))
+    np.testing.assert_allclose(ours_t.reshape(ref_t.shape), ref_t, rtol=1e-5, atol=1e-6)
