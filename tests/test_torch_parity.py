@@ -722,3 +722,43 @@ def test_stdiff_cond_components_parity(rng):
         ref_t = t_te(torch.from_numpy(tt)).numpy()
     ours_t = np.asarray(day_year_time_embedding(jnp.asarray(tt)))
     np.testing.assert_allclose(ours_t.reshape(ref_t.shape), ref_t, rtol=1e-5, atol=1e-6)
+
+
+def test_lr_scheduler_parity_vs_reference(rng):
+    """All three reference LR schedulers (ldm/lr_scheduler.py:4-91) match
+    our functional schedules value-for-value across warmup, cycles, and the
+    verbosity-interval boundaries."""
+    from ldm.lr_scheduler import (
+        LambdaLinearScheduler,
+        LambdaWarmUpCosineScheduler,
+        LambdaWarmUpCosineScheduler2,
+    )
+
+    from ealdm_tpu.training.lr_scheduler import (
+        warmup_cosine, warmup_cosine_cyclic, warmup_linear_cyclic,
+    )
+
+    steps = np.arange(0, 400, 7)
+
+    ref1 = LambdaWarmUpCosineScheduler(
+        warm_up_steps=50, lr_min=0.1, lr_max=1.0, lr_start=0.01,
+        max_decay_steps=300, verbosity_interval=0,
+    )
+    ours1 = warmup_cosine(50, 0.1, 1.0, 0.01, 300)
+    for n in steps:
+        np.testing.assert_allclose(ours1(int(n)), ref1(int(n)), rtol=1e-6)
+
+    kw = dict(warm_up_steps=[40, 20], f_min=[0.1, 0.05], f_max=[1.0, 0.5],
+              f_start=[0.01, 0.02], cycle_lengths=[150, 250],
+              verbosity_interval=0)
+    ref2 = LambdaWarmUpCosineScheduler2(**kw)
+    ours2 = warmup_cosine_cyclic([40, 20], [0.1, 0.05], [1.0, 0.5],
+                                 [0.01, 0.02], [150, 250])
+    ref3 = LambdaLinearScheduler(**kw)
+    ours3 = warmup_linear_cyclic([40, 20], [0.1, 0.05], [1.0, 0.5],
+                                 [0.01, 0.02], [150, 250])
+    for n in steps:
+        np.testing.assert_allclose(ours2(int(n)), ref2(int(n)), rtol=1e-6,
+                                    err_msg=f"cosine2 at step {n}")
+        np.testing.assert_allclose(ours3(int(n)), ref3(int(n)), rtol=1e-6,
+                                    err_msg=f"linear at step {n}")
