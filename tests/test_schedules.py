@@ -75,3 +75,103 @@ def test_extract_shapes():
     out = S.extract(table, t, ndim=4)
     assert out.shape == (3, 1, 1, 1)
     assert float(out[1, 0, 0, 0]) == 3.0
+
+
+def test_schedule_tables_parity_vs_reference():
+    """Beta schedules (all four types), DDIM timestep selection (uniform +
+    quad), and the DDIM sigma/alpha tables match the reference
+    (`ldm/modules/diffusionmodules/util.py:21-74`) exactly."""
+    import sys
+    import types
+
+    import pytest
+    torch = pytest.importorskip("torch")
+    if "omegaconf" not in sys.modules:
+        om = types.ModuleType("omegaconf")
+        lc = types.ModuleType("omegaconf.listconfig")
+
+        class ListConfig(list):
+            pass
+
+        lc.ListConfig = ListConfig
+        om.listconfig = lc
+        om.ListConfig = ListConfig
+        sys.modules["omegaconf"] = om
+        sys.modules["omegaconf.listconfig"] = lc
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    from ldm.modules.diffusionmodules import util as ref_util
+
+    from ealdm_tpu.ops.schedules import (
+        make_beta_schedule,
+        make_ddim_sampling_parameters,
+        make_ddim_timesteps,
+    )
+
+    for sched in ("linear", "cosine", "sqrt_linear", "sqrt"):
+        ref = ref_util.make_beta_schedule(sched, 100, 0.0015, 0.0195)
+        ours = make_beta_schedule(sched, 100, 0.0015, 0.0195)
+        np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-12, atol=1e-12)
+
+    for method in ("uniform", "quad"):
+        ref_ts = ref_util.make_ddim_timesteps(method, 50, 1000, verbose=False)
+        ours_ts = make_ddim_timesteps(method, 50, 1000)
+        np.testing.assert_array_equal(ours_ts, ref_ts)
+
+    acp = np.cumprod(1.0 - ref_util.make_beta_schedule("linear", 1000))
+    ref_sig, ref_a, ref_ap = ref_util.make_ddim_sampling_parameters(
+        acp, ref_ts, eta=1.0, verbose=False
+    )
+    sig, a, ap = make_ddim_sampling_parameters(acp, ours_ts, eta=1.0)
+    np.testing.assert_allclose(sig, ref_sig, rtol=1e-12)
+    np.testing.assert_allclose(a, ref_a, rtol=1e-12)
+    np.testing.assert_allclose(ap, ref_ap, rtol=1e-12)
+
+
+def test_diagonal_gaussian_parity_vs_reference():
+    """DiagonalGaussian kl/nll/mode match the reference
+    DiagonalGaussianDistribution (`ldm/modules/distributions/
+    distributions.py:24-61`) on the same moments."""
+    import sys
+
+    import pytest
+    torch = pytest.importorskip("torch")
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    from ldm.modules.distributions.distributions import (
+        DiagonalGaussianDistribution,
+    )
+
+    import jax.numpy as jnp
+
+    from ealdm_tpu.models.distributions import DiagonalGaussian
+
+    rng = np.random.RandomState(0)
+    moments = rng.randn(2, 8, 8, 6).astype(np.float32)  # mean||logvar on C
+    ref = DiagonalGaussianDistribution(
+        torch.from_numpy(np.transpose(moments, (0, 3, 1, 2)).copy())
+    )
+    ours = DiagonalGaussian.from_moments(jnp.asarray(moments))
+
+    np.testing.assert_allclose(
+        np.asarray(ours.kl()), ref.kl().numpy(), rtol=1e-5, atol=1e-5
+    )
+    other_m = rng.randn(2, 8, 8, 6).astype(np.float32)
+    ref_o = DiagonalGaussianDistribution(
+        torch.from_numpy(np.transpose(other_m, (0, 3, 1, 2)).copy())
+    )
+    ours_o = DiagonalGaussian.from_moments(jnp.asarray(other_m))
+    np.testing.assert_allclose(
+        np.asarray(ours.kl(ours_o)), ref.kl(ref_o).numpy(), rtol=1e-5, atol=1e-5
+    )
+    x = rng.randn(2, 8, 8, 3).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(ours.nll(jnp.asarray(x))),
+        ref.nll(torch.from_numpy(np.transpose(x, (0, 3, 1, 2)).copy())).numpy(),
+        rtol=1e-5, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours.mode()),
+        np.transpose(ref.mode().numpy(), (0, 2, 3, 1)),
+        rtol=1e-6,
+    )
