@@ -72,3 +72,21 @@ def check_param_consistency(params, axis_name: str = "data", rtol: float = 0.0):
 
     drifts = jax.tree_util.tree_map(drift, params)
     return jax.tree_util.tree_reduce(jnp.maximum, drifts, jnp.asarray(0.0))
+
+
+def profiled_function(fn):
+    """Decorator tagging `fn`'s work in profiler traces (reference
+    `torch_utils/misc.py:100-106` wraps with
+    torch.autograd.profiler.record_function). Here the annotation is a
+    `jax.profiler.TraceAnnotation`, which labels both the host-side trace
+    row and any device ops traced while the function runs."""
+    import functools
+
+    import jax
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        with jax.profiler.TraceAnnotation(fn.__name__):
+            return fn(*args, **kwargs)
+
+    return wrapper

@@ -197,3 +197,18 @@ def test_hybrid_conditioner():
     assert set(out) == {"c_concat", "c_crossattn"}
     assert out["c_concat"][0].shape == (2, 8, 8, 4)
     assert out["c_crossattn"][0].shape[0] == 2
+
+
+def test_profiled_function_decorator():
+    """profiled_function labels the call in profiler traces and is
+    transparent to the result (reference torch_utils/misc.py:100-106)."""
+    from ealdm_tpu.misc import profiled_function
+
+    import jax.numpy as jnp
+
+    @profiled_function
+    def double(x):
+        return x * 2
+
+    assert double.__name__ == "double"
+    assert float(double(jnp.asarray(3.0))) == 6.0

@@ -118,3 +118,26 @@ def test_run_class_conditional_tiny():
 
 def test_model_zoo_table_covers_reference_modes():
     assert set(nh.MODEL_ZOO) >= {"superresolution", "class_conditional"}
+
+
+def test_class_conditional_notebook_cells_compile():
+    """The committed notebook (twin of the reference
+    `scripts/latent_imagenet_diffusion.ipynb`) has valid code cells whose
+    ealdm imports all resolve."""
+    import json
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    nb = json.load(open(os.path.join(REPO, "scripts", "latent_imagenet_diffusion.ipynb")))
+    code_cells = [c for c in nb["cells"] if c["cell_type"] == "code"]
+    assert len(code_cells) >= 4
+    for i, c in enumerate(code_cells):
+        compile("".join(c["source"]), f"<cell {i}>", "exec")
+
+    from ealdm_tpu.config import load_config, model_from_config  # noqa: F401
+    from ealdm_tpu.inference import make_eps_fn  # noqa: F401
+    from ealdm_tpu.ops.schedules import DDIMSchedule, DiffusionSchedule  # noqa: F401
+    from ealdm_tpu.samplers import DDIMConfig, ddim_sample  # noqa: F401
+
+    cfg = load_config([os.path.join(REPO, "configs/latent-diffusion/cin256-v2.yaml")])
+    # the notebook's CFG null class id 1000 is in range for this config
+    assert cfg["model"]["params"]["cond_stage_config"]["params"]["n_classes"] == 1001

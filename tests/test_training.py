@@ -118,3 +118,56 @@ def test_eval_step_reports_ema_metrics():
     ev = make_eval_step(model)
     metrics = ev(state.params, state.ema.shadow, batch, jax.random.PRNGKey(1))
     assert "loss_simple" in metrics and "loss_simple_ema" in metrics
+
+
+def test_ema_value_parity_vs_reference_litema():
+    """Multi-step EMA shadow values match the reference `LitEma`
+    (`ldm/modules/ema.py:5-44`) exactly, in both warm-up
+    (use_num_upates=True) and fixed-decay modes."""
+    import sys
+
+    import numpy as np
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    from ldm.modules.ema import LitEma
+
+    rng = np.random.RandomState(0)
+    w0 = rng.randn(4, 3).astype(np.float32)
+    b0 = rng.randn(4).astype(np.float32)
+    steps = [
+        (rng.randn(4, 3).astype(np.float32), rng.randn(4).astype(np.float32))
+        for _ in range(5)
+    ]
+
+    for use_num_updates in (True, False):
+        net = torch.nn.Linear(3, 4)
+        with torch.no_grad():
+            net.weight.copy_(torch.from_numpy(w0))
+            net.bias.copy_(torch.from_numpy(b0))
+        ref_ema = LitEma(net, decay=0.9, use_num_upates=use_num_updates)
+
+        st = ema_init(
+            {"w": jnp.asarray(w0), "b": jnp.asarray(b0)},
+            decay=0.9,
+            use_num_updates=use_num_updates,
+        )
+        for w, b in steps:
+            with torch.no_grad():
+                net.weight.copy_(torch.from_numpy(w))
+                net.bias.copy_(torch.from_numpy(b))
+            ref_ema(net)
+            st = ema_update(st, {"w": jnp.asarray(w), "b": jnp.asarray(b)})
+
+        shadows = dict(ref_ema.named_buffers())
+        np.testing.assert_allclose(
+            np.asarray(st.shadow["w"]), shadows["weight"].numpy(),
+            rtol=1e-6, atol=1e-7,
+        )
+        np.testing.assert_allclose(
+            np.asarray(st.shadow["b"]), shadows["bias"].numpy(),
+            rtol=1e-6, atol=1e-7,
+        )
+        assert int(st.num_updates) == (len(steps) if use_num_updates else -1)
