@@ -130,7 +130,7 @@ def train_bench(model, batch, b, res, device_kind, remat="dots", peak=197e12):
 def main(batch_size: int = 24, steps: int = 50, tiny: bool = False,
          unet_format: str = "HWNC", norm_impl: str = "xla",
          streams: int = 3, train: bool = False, remat: str = "dots",
-         conv_impl: str = "xla", unroll: int = 1):
+         conv_impl: str = "xla", unroll: int = 1, xla_opts=None):
     import jax
     import jax.numpy as jnp
     from ealdm_tpu.utils.cache import enable_compile_cache
@@ -264,7 +264,12 @@ def main(batch_size: int = 24, steps: int = 50, tiny: bool = False,
         )
         return model.apply(variables, z, method=model.decode_first_stage)
 
-    fn = jax.jit(sample_program)
+    # optional TPU compiler options: XLA_FLAGS cannot reach the relay-side
+    # compiler (the client rejects TPU flags), but PJRT compiler_options DO
+    # travel with the compile request — the only way to run compiler-knob
+    # experiments on this setup (recorded in docs/PERF.md).
+    copts = dict(kv.split("=", 1) for kv in (xla_opts or []))
+    fn = jax.jit(sample_program, compiler_options=copts or None)
 
     # XLA-reported FLOPs of the WHOLE program (cond tower + 50-step CFG
     # scan + VQ decode) -> MFU against the chip's nominal bf16 peak.
@@ -376,6 +381,11 @@ if __name__ == "__main__":
                    choices=["xla", "winograd2", "winograd4", "int8"],
                    help="3x3-conv lowering (winograd: recorded experiment, "
                         "see docs/PERF.md)")
+    p.add_argument("--xla-opt", action="append", default=[],
+                   help="TPU compiler option key=value for the sampling "
+                        "program, sent via PJRT compiler_options (the only "
+                        "channel that reaches the relay-side compiler); "
+                        "repeatable")
     a = p.parse_args()
     main(a.batch_size, a.steps, a.tiny, a.unet_format, a.norm_impl, a.streams,
-         a.train, a.remat, a.conv_impl, a.unroll)
+         a.train, a.remat, a.conv_impl, a.unroll, a.xla_opt)
