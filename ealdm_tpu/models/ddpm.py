@@ -78,7 +78,7 @@ def build_cond_stage(config, dtype=jnp.float32):
             cond_args["noise_f_int"] = [t for t in cond_args["noise_f_int"] if t]
         kwargs = {}
         for k in ("mid_dim", "emb_dim", "out_dim", "w_dim", "f_dim",
-                  "hidden_dim", "num_layers", "num_ws"):
+                  "hidden_dim", "num_layers", "num_ws", "norm"):
             if k in params:
                 kwargs[k] = params[k]
         if "dims" in cond_args:

@@ -321,6 +321,10 @@ class UnetCond(nn.Module):
     num_layers: int = 1
     num_ws: int = 1
     cond_args: Dict[str, Any] = None
+    # conv_cat normalization: "group" (TPU-first default, see below) or
+    # "frozen_bn" (eval-mode BatchNorm with imported running stats — exact
+    # reference numerics for torch weight import / parity testing)
+    norm: str = "group"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -366,9 +370,16 @@ class UnetCond(nn.Module):
             # (`STDiff/models.py:476`) carries running stats that would need
             # cross-replica sync under SPMD; GroupNorm is stateless with the
             # same normalize-then-affine role. Documented, intentional.
-            combined = nn.GroupNorm(
-                num_groups=_norm_groups(self.mid_dim), name="conv_cat_norm"
-            )(combined)
+            # norm="frozen_bn" keeps exact reference eval numerics for
+            # torch-weight import (running stats become plain params).
+            if self.norm == "frozen_bn":
+                from .resnet import FrozenBatchNorm
+
+                combined = FrozenBatchNorm(self.mid_dim, name="conv_cat_norm")(combined)
+            else:
+                combined = nn.GroupNorm(
+                    num_groups=_norm_groups(self.mid_dim), name="conv_cat_norm"
+                )(combined)
             combined = nn.relu(combined)
             combined = nn.Conv(self.mid_dim, (3, 3), padding=1, name="conv_cat_3", dtype=self.dtype)(combined)
             h = combined + h
