@@ -240,17 +240,18 @@ def _build_reference():
     ).eval()
 
 
-def test_full_training_loss_parity(rng):
+@pytest.fixture(scope="module")
+def twin():
+    """Reference LatentDiffusion + our flax model with every weight imported,
+    plus shared pinned inputs and the reference CFG conditioning pair."""
+    rng = np.random.RandomState(7)
     B = 2
     img = rng.randn(B, 64, 64, 3).astype(np.float32)
     img_rand = rng.randn(B, 64, 64, 3).astype(np.float32)
     flow = rng.randn(B, 1, 1).astype(np.float32)
     weather = rng.randn(B, 1, 3).astype(np.float32)
     tm = rng.rand(B, 1).astype(np.float32)
-    t_np = np.array([3, 17], dtype=np.int64)
-    noise = rng.randn(B, 32, 32, 4).astype(np.float32)
 
-    # ------------------------------------------------- reference loss path
     with _reference_shims():
         ref = _build_reference()
         assert ref.unconditional_guidance_scale == 2.0  # hardcoded, ddpm.py:442
@@ -272,10 +273,6 @@ def test_full_training_loss_parity(rng):
             c_neg_in[-1] = None
             c_neg_ref = ref.get_learned_conditioning(c_neg_in).numpy()
             c_pos_ref = ref.get_learned_conditioning(c_raw).numpy()
-            cc_ref = torch.cat([torch.from_numpy(c_neg_ref),
-                                torch.from_numpy(c_pos_ref)])
-            loss_ref, ld_ref = ref.p_losses(
-                z_ref, cc_ref, torch.from_numpy(t_np), noise=_nchw(noise))
 
     # ---------------------------------------------------------- our model
     from ealdm_tpu.config import model_from_config
@@ -333,6 +330,24 @@ def test_full_training_loss_parity(rng):
     assert all(m.endswith(("nin_shortcut", "loss.weight")) for m in missing), missing[:5]
     p["cond_stage_model"] = _import_cond_tower(sd, p["cond_stage_model"])
     variables = {"params": p}
+    return dict(ref=ref, model=model, variables=variables, batch=batch,
+                img=img, z_ref=z_ref, c_neg_ref=c_neg_ref, c_pos_ref=c_pos_ref)
+
+
+def test_full_training_loss_parity(twin, rng):
+    ref, model, variables, batch = (
+        twin["ref"], twin["model"], twin["variables"], twin["batch"])
+    B = batch["img"].shape[0]
+    t_np = np.array([3, 17], dtype=np.int64)
+    noise = rng.randn(B, 32, 32, 4).astype(np.float32)
+    z_ref, c_neg_ref, c_pos_ref = (
+        twin["z_ref"], twin["c_neg_ref"], twin["c_pos_ref"])
+
+    with _reference_shims(), torch.no_grad():
+        cc_ref = torch.cat([torch.from_numpy(c_neg_ref),
+                            torch.from_numpy(c_pos_ref)])
+        loss_ref, ld_ref = ref.p_losses(
+            z_ref, cc_ref, torch.from_numpy(t_np), noise=_nchw(noise))
 
     # ------------------------------------------------------- our loss path
     z = model.apply(variables, batch["img"], method=model.encode_first_stage)
@@ -364,3 +379,60 @@ def test_full_training_loss_parity(rng):
     np.testing.assert_allclose(
         float(metrics["loss_vlb"]), float(ld_ref["val/loss_vlb"]), rtol=5e-4)
     np.testing.assert_allclose(float(total), float(loss_ref), rtol=5e-4)
+
+
+def test_full_model_cfg_sampling_parity(twin):
+    """Extends the composition parity to INFERENCE: the reference
+    DDIMSampler over the full reference model with classifier-free guidance
+    (`ddim.py:55-110,170-178`) + decode_first_stage, vs our jitted
+    eps_fn/ddim_sample/decode path on the imported weights."""
+    from ealdm_tpu.inference import make_eps_fn
+    from ealdm_tpu.ops.schedules import DDIMSchedule, DiffusionSchedule
+    from ealdm_tpu.samplers import DDIMConfig, ddim_sample
+
+    ref, model, variables = twin["ref"], twin["model"], twin["variables"]
+    B, steps, scale = 2, 5, 2.0
+    rng = np.random.RandomState(11)
+    x_T = rng.randn(B, 32, 32, 4).astype(np.float32)
+    c_neg_ref, c_pos_ref = twin["c_neg_ref"], twin["c_pos_ref"]
+
+    with _reference_shims():
+        from ldm.models.diffusion.ddim import DDIMSampler as RefDDIMSampler
+
+        class _CPUDDIM(RefDDIMSampler):
+            def register_buffer(self, name, attr):  # reference pins cuda
+                setattr(self, name, attr)
+
+        sampler = _CPUDDIM(ref)
+        with torch.no_grad():
+            lat_ref, _ = sampler.sample(
+                S=steps, batch_size=B, shape=(4, 32, 32),
+                conditioning=torch.from_numpy(c_pos_ref), eta=0.0,
+                verbose=False, x_T=_nchw(x_T),
+                unconditional_guidance_scale=scale,
+                unconditional_conditioning=torch.from_numpy(c_neg_ref),
+            )
+            img_ref = ref.decode_first_stage(
+                lat_ref, force_not_quantize=True).numpy()
+
+    sched = DiffusionSchedule.create(
+        timesteps=TIMESTEPS, linear_start=0.0015, linear_end=0.0195)
+    ddim = DDIMSchedule.create(sched, steps, eta=0.0)
+    cfg = DDIMConfig(num_steps=steps, eta=0.0,
+                     unconditional_guidance_scale=scale)
+    eps_fn = make_eps_fn(model, variables)
+    z = ddim_sample(
+        eps_fn, jax.random.PRNGKey(0), (B, 32, 32, 4), ddim, cfg,
+        cond=jnp.asarray(twin["c_pos_ref"]), uncond=jnp.asarray(c_neg_ref),
+        x_T=jnp.asarray(x_T),
+    )
+    np.testing.assert_allclose(
+        np.asarray(z), np.transpose(lat_ref.numpy(), (0, 2, 3, 1)),
+        rtol=2e-3, atol=2e-3,
+    )
+    img = model.apply(variables, jnp.asarray(z),
+                      method=model.decode_first_stage, force_not_quantize=True)
+    np.testing.assert_allclose(
+        np.asarray(img), np.transpose(img_ref, (0, 2, 3, 1)),
+        rtol=2e-3, atol=3e-3,
+    )
