@@ -436,3 +436,51 @@ def test_full_model_cfg_sampling_parity(twin):
         np.asarray(img), np.transpose(img_ref, (0, 2, 3, 1)),
         rtol=2e-3, atol=3e-3,
     )
+
+
+def test_full_model_cfg_plms_sampling_parity(twin):
+    """Same full-model twin through the PLMS sampler: reference PLMSSampler
+    (Adams-Bashforth multistep, `plms.py:172-236`) with CFG vs our
+    plms_sample on the imported weights."""
+    from ealdm_tpu.inference import make_eps_fn
+    from ealdm_tpu.ops.schedules import DDIMSchedule, DiffusionSchedule
+    from ealdm_tpu.samplers import DDIMConfig, plms_sample
+
+    ref, model, variables = twin["ref"], twin["model"], twin["variables"]
+    B, steps, scale = 2, 5, 2.0
+    rng = np.random.RandomState(13)
+    x_T = rng.randn(B, 32, 32, 4).astype(np.float32)
+    c_neg_ref, c_pos_ref = twin["c_neg_ref"], twin["c_pos_ref"]
+
+    with _reference_shims():
+        from ldm.models.diffusion.plms import PLMSSampler as RefPLMSSampler
+
+        class _CPUPLMS(RefPLMSSampler):
+            def register_buffer(self, name, attr):  # reference pins cuda
+                setattr(self, name, attr)
+
+        sampler = _CPUPLMS(ref)
+        with torch.no_grad():
+            lat_ref, _ = sampler.sample(
+                S=steps, batch_size=B, shape=(4, 32, 32),
+                conditioning=torch.from_numpy(c_pos_ref), eta=0.0,
+                verbose=False, x_T=_nchw(x_T),
+                unconditional_guidance_scale=scale,
+                unconditional_conditioning=torch.from_numpy(c_neg_ref),
+            )
+
+    sched = DiffusionSchedule.create(
+        timesteps=TIMESTEPS, linear_start=0.0015, linear_end=0.0195)
+    ddim = DDIMSchedule.create(sched, steps, eta=0.0)
+    cfg = DDIMConfig(num_steps=steps, eta=0.0,
+                     unconditional_guidance_scale=scale)
+    eps_fn = make_eps_fn(model, variables)
+    z = plms_sample(
+        eps_fn, jax.random.PRNGKey(0), (B, 32, 32, 4), ddim, cfg,
+        cond=jnp.asarray(c_pos_ref), uncond=jnp.asarray(c_neg_ref),
+        x_T=jnp.asarray(x_T),
+    )
+    np.testing.assert_allclose(
+        np.asarray(z), np.transpose(lat_ref.numpy(), (0, 2, 3, 1)),
+        rtol=2e-3, atol=2e-3,
+    )
