@@ -268,6 +268,9 @@ def main(batch_size: int = 24, steps: int = 50, tiny: bool = False,
     # compiler (the client rejects TPU flags), but PJRT compiler_options DO
     # travel with the compile request — the only way to run compiler-knob
     # experiments on this setup (recorded in docs/PERF.md).
+    for kv in xla_opts or []:
+        if "=" not in kv:
+            raise SystemExit(f"--xla-opt expects key=value, got {kv!r}")
     copts = dict(kv.split("=", 1) for kv in (xla_opts or []))
     fn = jax.jit(sample_program, compiler_options=copts or None)
 

@@ -107,6 +107,7 @@ LDM_ZOO: Dict[str, Dict[str, Any]] = {
     "celeba256": dict(
         first_stage="vq-f4", cond="__is_unconditional__", ls=0.0015, le=0.0195,
         base_lr=2.0e-6, let=200, ntc=1, stub_key="class_label",
+        trainable=False, monitor="val/loss",
         unet=_unet(image_size=64, in_channels=3, out_channels=3, model_channels=224,
                    attention_resolutions=[8, 4, 2], channel_mult=[1, 2, 3, 4],
                    num_head_channels=32),
@@ -114,6 +115,7 @@ LDM_ZOO: Dict[str, Dict[str, Any]] = {
     "ffhq256": dict(
         first_stage="vq-f4", cond="__is_unconditional__", ls=0.0015, le=0.0195,
         base_lr=2.0e-6, let=200, ntc=1, stub_key="class_label",
+        trainable=False, monitor="val/loss",
         unet=_unet(image_size=64, in_channels=3, out_channels=3, model_channels=224,
                    attention_resolutions=[8, 4, 2], channel_mult=[1, 2, 3, 4],
                    num_head_channels=32),
@@ -121,6 +123,7 @@ LDM_ZOO: Dict[str, Dict[str, Any]] = {
     "lsun_beds256": dict(
         first_stage="vq-f4", cond="__is_unconditional__", ls=0.0015, le=0.0195,
         base_lr=2.0e-6, let=200, ntc=1, stub_key="class_label",
+        trainable=False, monitor="val/loss",
         unet=_unet(image_size=64, in_channels=3, out_channels=3, model_channels=224,
                    attention_resolutions=[8, 4, 2], channel_mult=[1, 2, 3, 4],
                    num_head_channels=32),
@@ -128,6 +131,12 @@ LDM_ZOO: Dict[str, Dict[str, Any]] = {
     "lsun_churches256": dict(
         first_stage="kl-f8", cond="__is_unconditional__", ls=0.0015, le=0.0155,
         base_lr=5.0e-5, let=200, ntc=1, stub_key="image",
+        trainable=False, loss_type="l1", scale_by_std=True,
+        monitor="val/loss_simple_ema",
+        sched={"target": "ldm.lr_scheduler.LambdaLinearScheduler",
+               "params": {"warm_up_steps": [10000],
+                          "cycle_lengths": [10000000000000],
+                          "f_start": [1.0e-6], "f_max": [1.0], "f_min": [1.0]}},
         unet=_unet(image_size=32, in_channels=4, out_channels=4, model_channels=192,
                    attention_resolutions=[1, 2, 4, 8], channel_mult=[1, 2, 2, 4, 4],
                    num_heads=8, use_scale_shift_norm=True, resblock_updown=True),
@@ -135,7 +144,8 @@ LDM_ZOO: Dict[str, Dict[str, Any]] = {
     # class-conditional ImageNet
     "cin256": dict(
         first_stage="vq-f8", ls=0.0015, le=0.0195, conditioning_key="crossattn",
-        base_lr=1.0e-6, let=200, ntc=1,
+        base_lr=1.0e-6, let=200, ntc=1, trainable=True,
+        monitor="val/loss_simple_ema",
         cond_stage_key="class_label",
         cond={"target": "ldm.modules.encoders.modules.ClassEmbedder",
               "params": {"embed_dim": 512, "key": "class_label"}},
@@ -147,7 +157,8 @@ LDM_ZOO: Dict[str, Dict[str, Any]] = {
     # text-to-image
     "text2img256": dict(
         first_stage="vq-f4", ls=0.0015, le=0.0195, conditioning_key="crossattn",
-        base_lr=2.0e-6, let=200, ntc=1,
+        base_lr=2.0e-6, let=200, ntc=1, trainable=True,
+        monitor="val/loss_simple_ema",
         cond_stage_key="caption",
         cond={"target": "ldm.modules.encoders.modules.BERTEmbedder",
               "params": {"n_embed": 640, "n_layer": 32}},
@@ -159,7 +170,8 @@ LDM_ZOO: Dict[str, Dict[str, Any]] = {
     # layout-to-image
     "layout2img-openimages256": dict(
         first_stage="vq-f4", ls=0.0015, le=0.0205, conditioning_key="crossattn",
-        base_lr=2.0e-6, let=100,
+        base_lr=2.0e-6, let=100, trainable=True, loss_type="l1",
+        monitor="val/loss_simple_ema",
         cond_stage_key="coordinates_bbox",
         cond={"target": "ldm.modules.encoders.modules.BERTEmbedder",
               "params": {"n_embed": 512, "n_layer": 16, "vocab_size": 8192,
@@ -174,7 +186,12 @@ LDM_ZOO: Dict[str, Dict[str, Any]] = {
         # NB: the attn_type="none" vq-f4 variant (models/ldm/inpainting_big/
         # config.yaml ddconfig) — not the standard vq-f4
         first_stage="vq-f4-noattn", cond="__is_first_stage__", ls=0.0015, le=0.0205,
-        base_lr=1.0e-6, let=100,
+        base_lr=1.0e-6, let=100, loss_type="l1", monitor="val/loss",
+        fs_loss="ldm.modules.losses.contperceptual.DummyLoss",
+        sched={"target": "ldm.lr_scheduler.LambdaWarmUpCosineScheduler",
+               "params": {"verbosity_interval": 0, "warm_up_steps": 1000,
+                          "max_decay_steps": 50000, "lr_start": 0.001,
+                          "lr_max": 0.1, "lr_min": 0.0001}},
         conditioning_key="concat", cond_stage_key="masked_image",
         unet=_unet(image_size=64, in_channels=7, out_channels=3, model_channels=256,
                    attention_resolutions=[8, 4, 2], channel_mult=[1, 2, 3, 4],
@@ -186,6 +203,7 @@ LDM_ZOO: Dict[str, Dict[str, Any]] = {
         # raw (models/ldm/bsr_sr/config.yaml: torch.nn.Identity, in_ch 3+3)
         first_stage="vq-f4", cond={"target": "torch.nn.Identity"},
         ls=0.0015, le=0.0155, base_lr=1.0e-6, let=100,
+        trainable=False, loss_type="l2",
         conditioning_key="concat", cond_stage_key="LR_image",
         unet=_unet(image_size=64, in_channels=6, out_channels=3, model_channels=160,
                    attention_resolutions=[16, 8], channel_mult=[1, 2, 2, 4],
@@ -194,7 +212,7 @@ LDM_ZOO: Dict[str, Dict[str, Any]] = {
     # semantic synthesis (concat rescaled segmentation)
     "semantic_synthesis256": dict(
         first_stage="vq-f4", ls=0.0015, le=0.0205, conditioning_key="concat",
-        base_lr=1.0e-6, let=100,
+        base_lr=1.0e-6, let=100, trainable=True, loss_type="l1",
         cond_stage_key="segmentation",
         cond={"target": "ldm.modules.encoders.modules.SpatialRescaler",
               "params": {"n_stages": 2, "in_channels": 182, "out_channels": 3}},
@@ -204,7 +222,7 @@ LDM_ZOO: Dict[str, Dict[str, Any]] = {
     ),
     "semantic_synthesis512": dict(
         first_stage="vq-f4", ls=0.0015, le=0.0205, conditioning_key="concat",
-        base_lr=1.0e-6, let=100,
+        base_lr=1.0e-6, let=100, trainable=True, loss_type="l1",
         cond_stage_key="segmentation",
         cond={"target": "ldm.modules.encoders.modules.SpatialRescaler",
               "params": {"n_stages": 2, "in_channels": 182, "out_channels": 3}},
@@ -249,9 +267,14 @@ def build(name: str, dtype=None):
     )
     if "conditioning_key" in z:
         kwargs["conditioning_key"] = z["conditioning_key"]
+    if "loss_type" in z:
+        kwargs["loss_type"] = z["loss_type"]
     if "cond_stage_key" in z:
         kwargs["cond_stage_key"] = z["cond_stage_key"]
-        kwargs["cond_stage_trainable"] = not isinstance(z.get("cond"), str)
+        # explicit per-stub flag (e.g. bsr_sr: Identity cond stage, frozen);
+        # fall back to "module cond stages train" for entries without one
+        kwargs["cond_stage_trainable"] = z.get(
+            "trainable", not isinstance(z.get("cond"), str))
     if dtype is not None:
         kwargs["dtype"] = dtype
     return LatentDiffusion(**kwargs)

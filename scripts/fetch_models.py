@@ -40,19 +40,26 @@ def reference_config(name: str) -> dict:
                           **zoo._fs_train_config(short)}}
     z = zoo.spec(name)
     fs = zoo._fs_config(z["first_stage"])
+    # LDM stubs carry the frozen first stage with a no-op loss (the reference
+    # VQModel ctor requires `lossconfig`; stubs use torch.nn.Identity or
+    # contperceptual.DummyLoss)
+    fs = {"target": fs["target"],
+          "params": dict(fs["params"], lossconfig={
+              "target": z.get("fs_loss", "torch.nn.Identity")})}
     params = {
         "linear_start": z["ls"],
         "linear_end": z["le"],
         "num_timesteps_cond": z.get("ntc"),
         "log_every_t": z.get("let", 100),
         "timesteps": 1000,
+        "loss_type": z.get("loss_type"),
         "first_stage_key": "image",
         "image_size": z["unet"]["image_size"],
         # `channels` is the LATENT channel count (= first-stage embed_dim);
         # concat models' UNet in_channels additionally include the
         # concatenated conditioning planes.
         "channels": fs["params"]["embed_dim"],
-        "monitor": "val/loss_simple_ema",
+        "monitor": z.get("monitor"),
         "unet_config": {
             "target": "ldm.modules.diffusionmodules.openaimodel.UNetModel",
             "params": z["unet"],
@@ -60,8 +67,15 @@ def reference_config(name: str) -> dict:
         "first_stage_config": fs,
         "cond_stage_config": z.get("cond", "__is_unconditional__"),
     }
-    if params["num_timesteps_cond"] is None:
-        del params["num_timesteps_cond"]
+    if "trainable" in z:
+        params["cond_stage_trainable"] = z["trainable"]
+    if z.get("scale_by_std"):
+        params["scale_by_std"] = True
+    if "sched" in z:
+        params["scheduler_config"] = z["sched"]
+    for k in ("num_timesteps_cond", "loss_type", "monitor"):
+        if params[k] is None:
+            del params[k]
     for k in ("conditioning_key", "cond_stage_key"):
         if k in z:
             params[k] = z[k]

@@ -57,14 +57,29 @@ def test_stub_architecture_matches_reference(ref_path, generated):
                 assert op.get(k) == rp[k], k
         return
 
-    # LDM stub: diffusion schedule + shapes + conditioning wiring
+    # LDM stub: base LR + diffusion schedule + shapes + loss/monitor/
+    # trainability + conditioning wiring
+    assert ours["base_learning_rate"] == pytest.approx(
+        ref["base_learning_rate"])
     for k in ("linear_start", "linear_end", "timesteps", "image_size",
-              "channels", "cond_stage_key", "conditioning_key"):
+              "channels", "cond_stage_key", "conditioning_key", "loss_type",
+              "cond_stage_trainable", "scale_by_std", "monitor",
+              "num_timesteps_cond", "log_every_t"):
         if k in rp:
             assert op.get(k) == rp[k], k
     # concat_mode is the reference's legacy alias for conditioning_key
     if rp.get("concat_mode") is True:
         assert op.get("conditioning_key", "concat") == "concat"
+    # training-time LR scheduler carried verbatim
+    if "scheduler_config" in rp:
+        assert op["scheduler_config"]["target"] == rp["scheduler_config"]["target"]
+        for k, v in (rp["scheduler_config"].get("params") or {}).items():
+            assert op["scheduler_config"]["params"].get(k) == pytest.approx(v), k
+    # the reference VQModel ctor REQUIRES a lossconfig (autoencoder.py:15-17)
+    ref_fsl = rp["first_stage_config"]["params"].get("lossconfig")
+    if ref_fsl is not None:
+        assert (op["first_stage_config"]["params"]
+                ["lossconfig"]["target"] == ref_fsl["target"])
 
     for k, v in rp["unet_config"]["params"].items():
         assert op["unet_config"]["params"].get(k) == v, ("unet", k)

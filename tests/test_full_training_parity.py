@@ -133,12 +133,14 @@ def _reference_shims():
             resnet50=lambda **k: _TinyResnet())
         created += ["torchvision", "torchvision.utils"]
 
+    prev_current_device = torch.cuda.current_device
     torch.cuda.current_device = lambda: "cpu"
     if "/root/reference" not in sys.path:
         sys.path.insert(0, "/root/reference")
     try:
         yield
     finally:
+        torch.cuda.current_device = prev_current_device
         for name in created:
             sys.modules.pop(name, None)
 
