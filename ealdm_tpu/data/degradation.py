@@ -629,3 +629,19 @@ def ycbcr2rgb(img):
          [0.00625893, -0.00318811, 0.0]]
     ) * 255.0
     return _ycbcr_convert(img, m, [-222.921, 135.576, -276.836])
+
+
+def augment_img(img, mode: int = 0):
+    """Kai-Zhang 8-mode flip/rotate augmentation (reference
+    `utils_image.py:380-398`), numpy HWC."""
+    ops = {
+        0: lambda x: x,
+        1: lambda x: np.flipud(np.rot90(x)),
+        2: lambda x: np.flipud(x),
+        3: lambda x: np.rot90(x, k=3),
+        4: lambda x: np.flipud(np.rot90(x, k=2)),
+        5: lambda x: np.rot90(x),
+        6: lambda x: np.rot90(x, k=2),
+        7: lambda x: np.flipud(np.rot90(x, k=3)),
+    }
+    return ops[mode](img)

@@ -40,3 +40,17 @@ def measure_perplexity(indices, n_classes):
     perplexity = jnp.exp(-jnp.sum(probs * jnp.log(probs + 1e-10)))
     cluster_usage = jnp.sum(probs > 0)
     return perplexity, cluster_usage
+
+
+def hinge_d_loss_with_exemplar_weights(logits_real, logits_fake, weights):
+    """Per-exemplar-weighted hinge discriminator loss (reference
+    `vqperceptual.py:11-18`): per-sample spatial means, weighted-averaged by
+    `weights` over the batch."""
+    assert weights.shape[0] == logits_real.shape[0] == logits_fake.shape[0]
+    axes = tuple(range(1, logits_real.ndim))
+    loss_real = jnp.mean(nn_relu(1.0 - logits_real), axis=axes)
+    loss_fake = jnp.mean(nn_relu(1.0 + logits_fake), axis=axes)
+    wsum = jnp.sum(weights)
+    return 0.5 * (
+        jnp.sum(weights * loss_real) / wsum + jnp.sum(weights * loss_fake) / wsum
+    )

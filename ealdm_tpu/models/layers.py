@@ -134,6 +134,23 @@ class Upsample(nn.Module):
         return x
 
 
+class TransposedUpsample(nn.Module):
+    """Learned 2x upsample via stride-2 transposed conv, no padding
+    (reference `openaimodel.py:121-131`; unused by the shipped configs but
+    part of the UNet op surface). NHWC only."""
+
+    out_channels: Optional[int] = None
+    ks: int = 5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.ConvTranspose(
+            self.out_channels or x.shape[-1], (self.ks, self.ks),
+            strides=(2, 2), padding="VALID", name="up", dtype=self.dtype,
+        )(x)
+
+
 class Downsample(nn.Module):
     """stride-2 3x3 conv (symmetric pad=1, UNet flavour) or 2x2 avg-pool."""
 

@@ -236,3 +236,13 @@ def extract(table: jnp.ndarray, t: jnp.ndarray, ndim: int) -> jnp.ndarray:
     """
     out = jnp.take(table, t, axis=-1)
     return out.reshape(out.shape + (1,) * (ndim - 1))
+
+
+def betas_for_alpha_bar(num_diffusion_timesteps: int, alpha_bar, max_beta: float = 0.999) -> np.ndarray:
+    """Discretize a continuous alpha-bar function into betas (reference
+    `diffusionmodules/util.py:77-93`): beta_i = 1 - abar((i+1)/T)/abar(i/T),
+    clipped at max_beta."""
+    t = np.arange(num_diffusion_timesteps, dtype=np.float64)
+    a1 = np.asarray([alpha_bar(x) for x in t / num_diffusion_timesteps])
+    a2 = np.asarray([alpha_bar(x) for x in (t + 1) / num_diffusion_timesteps])
+    return np.minimum(1.0 - a2 / a1, max_beta)

@@ -223,3 +223,49 @@ def visualize(images: np.ndarray, path: str = "notebook_sample.png"):
 
     save_png(path, to_uint8_grid(images))
     return path
+
+
+def get_cond_options(mode: str, root: str = "data/example_conditioning"):
+    """List the bundled conditioning examples for a task (reference
+    notebook_helpers.py:85-89)."""
+    path = os.path.join(root, mode)
+    return path, sorted(os.listdir(path))
+
+
+def select_cond_path(mode: str, index: int = 0, name: str = None,
+                     root: str = "data/example_conditioning"):
+    """Pick a conditioning example by name or index (reference :92-104 uses
+    an ipywidgets radio button; headless here)."""
+    path, files = get_cond_options(mode, root)
+    chosen = name if name is not None else files[index]
+    assert chosen in files, (chosen, files)
+    return os.path.join(path, chosen)
+
+
+def get_custom_cond(mode: str, source_path_or_text,
+                    root: str = "data/example_conditioning"):
+    """Install a custom conditioning example (reference :59-82 uses Colab
+    upload widgets; here: copy a local file / write the prompt text) and
+    return its path."""
+    dest = os.path.join(root, mode)
+    os.makedirs(dest, exist_ok=True)
+    if mode == "text_conditional":
+        text = str(source_path_or_text)
+        out = os.path.join(dest, f"custom_{text[:20]}.txt")
+        with open(out, "w") as f:
+            f.write(text)
+        return out
+    import shutil
+
+    name = os.path.basename(str(source_path_or_text))
+    out = os.path.join(dest, f"custom_{name}")
+    shutil.copyfile(source_path_or_text, out)
+    return out
+
+
+def visualize_cond_img(path: str):
+    """Load a conditioning image for display (reference :127-128 wraps
+    IPython display; returns the PIL image here)."""
+    from PIL import Image
+
+    return Image.open(path)

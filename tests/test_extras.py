@@ -1,4 +1,5 @@
 """Secondary components: EncoderUNet, classifier, VAE extras, util helpers."""
+import os
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -212,3 +213,116 @@ def test_profiled_function_decorator():
 
     assert double.__name__ == "double"
     assert float(double(jnp.asarray(3.0))) == 6.0
+
+
+def test_hinge_d_loss_with_exemplar_weights_matches_reference_formula():
+    """Weighted hinge loss matches the reference torch formula
+    (vqperceptual.py:11-18) on the same tensors."""
+    import numpy as np
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    from ealdm_tpu.losses import hinge_d_loss_with_exemplar_weights
+
+    rng = np.random.RandomState(0)
+    lr = rng.randn(4, 1, 6, 6).astype(np.float32)
+    lf = rng.randn(4, 1, 6, 6).astype(np.float32)
+    w = rng.rand(4).astype(np.float32)
+
+    tlr, tlf, tw = map(torch.from_numpy, (lr, lf, w))
+    loss_real = torch.mean(F.relu(1.0 - tlr), dim=[1, 2, 3])
+    loss_fake = torch.mean(F.relu(1.0 + tlf), dim=[1, 2, 3])
+    ref = 0.5 * ((tw * loss_real).sum() / tw.sum()
+                 + (tw * loss_fake).sum() / tw.sum())
+
+    ours = hinge_d_loss_with_exemplar_weights(
+        jnp.asarray(lr), jnp.asarray(lf), jnp.asarray(w))
+    np.testing.assert_allclose(float(ours), float(ref), rtol=1e-6)
+
+
+def test_betas_for_alpha_bar_matches_reference():
+    import math
+    import sys
+
+    import numpy as np
+
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    from ldm.modules.diffusionmodules.util import (
+        betas_for_alpha_bar as ref_fn,
+    )
+
+    from ealdm_tpu.ops.schedules import betas_for_alpha_bar
+
+    abar = lambda t: math.cos((t + 0.008) / 1.008 * math.pi / 2) ** 2
+    ref = np.asarray(ref_fn(50, abar))
+    ours = betas_for_alpha_bar(50, abar)
+    np.testing.assert_allclose(ours, ref, rtol=1e-12)
+
+
+def test_augment_img_matches_reference_modes():
+    import numpy as np
+
+    from ealdm_tpu.data.degradation import augment_img
+
+    rng = np.random.RandomState(0)
+    img = rng.rand(5, 7, 3).astype(np.float32)
+    # reference utils_image.py:380-398 formulas, written out
+    ref = {
+        0: img, 1: np.flipud(np.rot90(img)), 2: np.flipud(img),
+        3: np.rot90(img, k=3), 4: np.flipud(np.rot90(img, k=2)),
+        5: np.rot90(img), 6: np.rot90(img, k=2),
+        7: np.flipud(np.rot90(img, k=3)),
+    }
+    for mode, want in ref.items():
+        np.testing.assert_array_equal(augment_img(img, mode), want)
+
+
+def test_transposed_upsample_shape_matches_torch():
+    import numpy as np
+    import pytest
+
+    torch = pytest.importorskip("torch")
+
+    from ealdm_tpu.models.layers import TransposedUpsample
+
+    m = TransposedUpsample(out_channels=6, ks=5)
+    x = jnp.zeros((2, 8, 8, 4))
+    params = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(params, x)
+    ref = torch.nn.ConvTranspose2d(4, 6, kernel_size=5, stride=2)(
+        torch.zeros(2, 4, 8, 8))
+    assert y.shape == (2, ref.shape[2], ref.shape[3], 6)
+
+
+def test_notebook_cond_selection_helpers(tmp_path):
+    # other parity tests put /root/reference first on sys.path, which
+    # shadows OUR top-level notebook_helpers — pin the repo copy
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    mod = sys.modules.get("notebook_helpers")
+    if mod is not None and not str(mod.__file__).startswith(repo):
+        del sys.modules["notebook_helpers"]
+    if sys.path[0] != repo:
+        sys.path.insert(0, repo)
+    import notebook_helpers as nh
+    assert str(nh.__file__).startswith(repo)
+
+    root = str(tmp_path / "example_conditioning")
+    p = nh.get_custom_cond("text_conditional", "A cake with cream!", root=root)
+    assert open(p).read() == "A cake with cream!"
+    path, files = nh.get_cond_options("text_conditional", root=root)
+    assert files and path.endswith("text_conditional")
+    sel = nh.select_cond_path("text_conditional", index=0, root=root)
+    assert sel == os.path.join(path, files[0])
+
+    import numpy as np
+    from PIL import Image
+
+    img_src = tmp_path / "img.png"
+    Image.fromarray(np.zeros((4, 4, 3), np.uint8)).save(img_src)
+    p2 = nh.get_custom_cond("superresolution", str(img_src), root=root)
+    assert nh.visualize_cond_img(p2).size == (4, 4)
