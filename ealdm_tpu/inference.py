@@ -35,16 +35,21 @@ def split_streams(eps_fn, num_streams: int):
     if num_streams <= 1:
         return eps_fn
 
-    def split_fn(x, t, ctx):
+    def split_fn(x, t, ctx, *extra):
         assert x.shape[0] % num_streams == 0, (
             f"batch {x.shape[0]} not divisible by {num_streams} streams"
         )
         n = x.shape[0] // num_streams
+        # ctx may be a pytree of batch-leading leaves (hoisted K/V);
+        # per-step extras (hoisted emb rows) are batch-free and shared.
         outs = [
             eps_fn(
                 x[i * n:(i + 1) * n],
                 t[i * n:(i + 1) * n],
-                None if ctx is None else ctx[i * n:(i + 1) * n],
+                jax.tree_util.tree_map(
+                    lambda a: a[i * n:(i + 1) * n], ctx
+                ),
+                *extra,
             )
             for i in range(num_streams)
         ]
@@ -58,6 +63,60 @@ def make_eps_fn(model: LatentDiffusion, variables):
         return model.apply(variables, x, t, ctx, method=model.apply_model)
 
     return eps_fn
+
+
+def hoist_invariants(model: LatentDiffusion, variables, ddim, cond=None,
+                     uncond=None):
+    """Hoist the step-invariant work of a DDIM sampling chain out of the scan.
+
+    Two invariants are precomputed ONCE instead of per step (the reference
+    re-executes both inside every one of its S sampler steps):
+      * cross-attn K/V of the constant conditioning context — every
+        SpatialTransformer's `to_k(ctx)`/`to_v(ctx)`
+        (ref `ldm/modules/attention.py:152-193`);
+      * the timestep-embedding MLP + every ResBlock's emb projection for all
+        S known timesteps, as [S, ...] tables scanned alongside alpha/sigma
+        (ref `openaimodel.py:184-205,468-473`).
+    On a latency-bound chip (v5e: fixed ~340us issue cost per serial op,
+    docs/PERF.md) this deletes ~50 small ops per step at bit-identical
+    numerics.
+
+    Returns (eps_fn, cond', uncond', extra_tables) ready for
+    `ddim_sample(eps_fn, ..., cond=cond', uncond=uncond',
+    extra_tables=extra_tables)`. Falls back to the plain eps_fn (with
+    cond/uncond passed through and extra_tables=None) when hoisting does not
+    apply: non-crossattn conditioning, split-input patched inference, or a
+    class-conditional UNet.
+    """
+    from .models.ddpm import build_unet
+    from .models.unet import precompute_context_kv, precompute_emb_tables
+
+    unet = build_unet(model.unet_config, dtype=model.dtype)
+    if (
+        model.conditioning_key not in (None, "crossattn")
+        or model.split_input_params is not None
+        or unet.num_classes is not None
+    ):
+        return make_eps_fn(model, variables), cond, uncond, None
+
+    params = variables["params"]["model"]["diffusion_model"]
+    emb_tables = precompute_emb_tables(unet, params, ddim.timesteps)
+    kv = None
+    if model.conditioning_key == "crossattn" and unet.use_spatial_transformer:
+        if cond is not None:
+            cond = precompute_context_kv(unet, params, cond)
+        if uncond is not None:
+            uncond = precompute_context_kv(unet, params, uncond)
+        kv = True
+
+    def eps_fn(x, t, ctx, emb_rows=None):
+        return model.apply(
+            variables, x, t, None if kv else ctx,
+            context_kv=ctx if kv else None, emb_tables=emb_rows,
+            method=model.apply_model,
+        )
+
+    return eps_fn, cond, uncond, emb_tables
 
 
 def encode_cfg_conditioning(model: LatentDiffusion, variables, mixed: Dict):
@@ -86,8 +145,12 @@ def sample_images(
     x_T=None,
     mask=None,
     x0=None,
+    hoist: bool = True,
 ):
-    """Full pipeline; returns decoded images (or latents if decode=False)."""
+    """Full pipeline; returns decoded images (or latents if decode=False).
+
+    hoist: precompute the step-invariant cross-attn K/V + timestep-embedding
+    tables outside the sampler scan (bit-identical; see hoist_invariants)."""
     sched = DiffusionSchedule.create(
         timesteps=model.timesteps,
         beta_schedule=model.beta_schedule,
@@ -105,12 +168,19 @@ def sample_images(
     if mixed is not None and cond is None:
         uncond, cond = encode_cfg_conditioning(model, variables, mixed)
 
-    eps_fn = make_eps_fn(model, variables)
+    if hoist:
+        # PLMS consumes the hoisted K/V but not the emb tables (its first
+        # step evaluates at t_next, off the per-step table grid).
+        eps_fn, cond, uncond, extra = hoist_invariants(
+            model, variables, ddim, cond, uncond
+        )
+    else:
+        eps_fn, extra = make_eps_fn(model, variables), None
     shape = (batch_size,) + tuple(latent_shape)
     sampler_fn = plms_sample if sampler == "plms" else ddim_sample
     kwargs = {}
     if sampler != "plms":
-        kwargs = dict(mask=mask, x0=x0, schedule=sched)
+        kwargs = dict(mask=mask, x0=x0, schedule=sched, extra_tables=extra)
     z = sampler_fn(
         eps_fn, rng, shape, ddim, cfg, cond=cond, uncond=uncond, x_T=x_T, **kwargs
     )

@@ -100,21 +100,32 @@ class DiffusionWrapper(nn.Module):
         assert self.conditioning_key in (None, "concat", "crossattn", "hybrid", "adm")
         self.diffusion_model = build_unet(self.unet_config, dtype=self.dtype)
 
-    def __call__(self, x, t, c_concat=None, c_crossattn=None, *, deterministic=True):
+    def __call__(self, x, t, c_concat=None, c_crossattn=None, *,
+                 context_kv=None, emb_tables=None, deterministic=True):
+        """context_kv / emb_tables: hoisted step-invariant projections for
+        sampling scans (see unet.precompute_context_kv / _emb_tables)."""
         key = self.conditioning_key
+        hoist = dict(context_kv=context_kv, emb_tables=emb_tables)
         if key is None:
-            return self.diffusion_model(x, t, deterministic=deterministic)
+            return self.diffusion_model(x, t, deterministic=deterministic, **hoist)
         if key == "concat":
             xc = jnp.concatenate([x] + list(c_concat), axis=-1)
-            return self.diffusion_model(xc, t, deterministic=deterministic)
+            return self.diffusion_model(xc, t, deterministic=deterministic, **hoist)
         if key == "crossattn":
-            cc = jnp.concatenate(list(c_crossattn), axis=1)
-            return self.diffusion_model(x, t, context=cc, deterministic=deterministic)
+            cc = None if c_crossattn is None else jnp.concatenate(
+                list(c_crossattn), axis=1
+            )
+            return self.diffusion_model(
+                x, t, context=cc, deterministic=deterministic, **hoist
+            )
         if key == "hybrid":
             xc = jnp.concatenate([x] + list(c_concat), axis=-1)
             cc = jnp.concatenate(list(c_crossattn), axis=1)
-            return self.diffusion_model(xc, t, context=cc, deterministic=deterministic)
+            return self.diffusion_model(
+                xc, t, context=cc, deterministic=deterministic, **hoist
+            )
         if key == "adm":
+            assert emb_tables is None  # class embedding precludes emb hoisting
             return self.diffusion_model(x, t, y=c_crossattn[0], deterministic=deterministic)
         raise NotImplementedError(key)
 
@@ -360,14 +371,24 @@ class LatentDiffusion(nn.Module):
         log_var = extract(s.posterior_log_variance_clipped, t, x_t.ndim)
         return mean, var, log_var
 
-    def apply_model(self, x_noisy, t, cond_context, *, deterministic=True):
-        """Run the denoiser with already-encoded conditioning context."""
+    def apply_model(self, x_noisy, t, cond_context, *, context_kv=None,
+                    emb_tables=None, deterministic=True):
+        """Run the denoiser with already-encoded conditioning context.
+
+        context_kv / emb_tables: hoisted step-invariant projections for
+        sampling scans (inference.hoist_invariants); bypasses cond_context
+        for the cross-attn K/V when given. Dense path only."""
         if self.split_input_params is not None and x_noisy.ndim == 4:
+            assert context_kv is None and emb_tables is None, (
+                "hoisted invariants are not supported on the split-input "
+                "patched path"
+            )
             return self._apply_model_patched(
                 x_noisy, t, cond_context, deterministic=deterministic
             )
         return self._apply_model_dense(
-            x_noisy, t, cond_context, deterministic=deterministic
+            x_noisy, t, cond_context, context_kv=context_kv,
+            emb_tables=emb_tables, deterministic=deterministic,
         )
 
     def _split_context(self, cond_context):
@@ -394,12 +415,17 @@ class LatentDiffusion(nn.Module):
             return None, [cond_context]
         return [cond_context], None
 
-    def _apply_model_dense(self, x_noisy, t, cond_context, *, deterministic=True):
+    def _apply_model_dense(self, x_noisy, t, cond_context, *, context_kv=None,
+                           emb_tables=None, deterministic=True):
+        hoist = dict(context_kv=context_kv, emb_tables=emb_tables)
         if self.conditioning_key is None or cond_context is None:
-            return self.model(x_noisy, t, deterministic=deterministic)
+            # unconditional, or the conditioning rides entirely in the
+            # precomputed K/V (context_kv)
+            return self.model(x_noisy, t, deterministic=deterministic, **hoist)
         cc, ca = self._split_context(cond_context)
         return self.model(
-            x_noisy, t, c_concat=cc, c_crossattn=ca, deterministic=deterministic
+            x_noisy, t, c_concat=cc, c_crossattn=ca, deterministic=deterministic,
+            **hoist,
         )
 
     def _apply_model_patched(self, x_noisy, t, cond_context, *, deterministic=True):

@@ -191,7 +191,11 @@ class ResBlock(nn.Module):
     data_format: str = "NHWC"
 
     @nn.compact
-    def __call__(self, x, emb, *, deterministic: bool = True):
+    def __call__(self, x, emb, *, emb_out=None, deterministic: bool = True):
+        """emb_out: optional precomputed `emb_proj(silu(emb))` row — the
+        timestep embedding is step-uniform across the batch, so samplers can
+        hoist this projection out of the scan (one [S, (2*)out_ch] table for
+        all S steps); see unet.precompute_emb_tables."""
         c = x.shape[-1]
         fmt = self.data_format
         out_ch = self.out_channels or c
@@ -206,11 +210,16 @@ class ResBlock(nn.Module):
             x = resample(x)
         h = conv3x3(out_ch, name="in_conv", dtype=self.dtype, data_format=fmt)(h)
 
-        emb_out = nn.Dense(
-            2 * out_ch if self.use_scale_shift_norm else out_ch,
-            name="emb_proj",
-            dtype=self.dtype,
-        )(silu(emb))  # [N, (2*)out_ch]
+        if emb_out is None:
+            emb_out = nn.Dense(
+                2 * out_ch if self.use_scale_shift_norm else out_ch,
+                name="emb_proj",
+                dtype=self.dtype,
+            )(silu(emb))  # [N, (2*)out_ch]
+        elif emb_out.ndim == 1:
+            # precomputed per-step row (see unet.precompute_emb_tables):
+            # identical for every batch element, broadcast as [1, (2*)out_ch]
+            emb_out = emb_out[None, :]
 
         if self.use_scale_shift_norm:
             ss = (
@@ -262,18 +271,26 @@ class CrossAttention(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, context=None, *, deterministic: bool = True):
+    def __call__(self, x, context=None, *, kv=None, deterministic: bool = True):
+        """kv: optional precomputed (k, v) [B, M, inner] projections of a
+        step-constant context — samplers hoist `to_k(ctx)`/`to_v(ctx)` out of
+        the diffusion scan (see unet.precompute_context_kv); skips to_k/to_v
+        here with bit-identical results."""
         b, n, c = x.shape
         inner = self.heads * self.dim_head
-        context = x if context is None else context
-        m = context.shape[1]
 
         # Separate projections: measured faster than manual qkv fusion on
         # v5e — XLA already batches matmuls sharing an operand, and the
         # explicit concatenate only added copies.
         q = nn.Dense(inner, use_bias=False, name="to_q", dtype=self.dtype)(x)
-        k = nn.Dense(inner, use_bias=False, name="to_k", dtype=self.dtype)(context)
-        v = nn.Dense(inner, use_bias=False, name="to_v", dtype=self.dtype)(context)
+        if kv is not None:
+            k, v = kv
+            m = k.shape[1]
+        else:
+            context = x if context is None else context
+            m = context.shape[1]
+            k = nn.Dense(inner, use_bias=False, name="to_k", dtype=self.dtype)(context)
+            v = nn.Dense(inner, use_bias=False, name="to_v", dtype=self.dtype)(context)
 
         def split(t, length):
             return t.reshape(b, length, self.heads, self.dim_head).transpose(0, 2, 1, 3)
@@ -321,7 +338,7 @@ class BasicTransformerBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, context=None, *, deterministic: bool = True):
+    def __call__(self, x, context=None, *, kv=None, deterministic: bool = True):
         x = (
             CrossAttention(
                 self.heads, self.dim_head, self.dropout, name="attn1", dtype=self.dtype
@@ -334,6 +351,7 @@ class BasicTransformerBlock(nn.Module):
             )(
                 LayerNorm(name="norm2")(x),
                 context=context,
+                kv=kv,
                 deterministic=deterministic,
             )
             + x
@@ -359,7 +377,9 @@ class SpatialTransformer(nn.Module):
     data_format: str = "NHWC"
 
     @nn.compact
-    def __call__(self, x, context=None, *, deterministic: bool = True):
+    def __call__(self, x, context=None, *, kv=None, deterministic: bool = True):
+        """kv: optional tuple of per-depth precomputed (k, v) cross-attn
+        projections of a step-constant context (unet.precompute_context_kv)."""
         fmt = self.data_format
         if fmt == "NHWC":
             b, h, w, c = x.shape
@@ -380,7 +400,8 @@ class SpatialTransformer(nn.Module):
                 self.dropout,
                 name=f"block_{i}",
                 dtype=self.dtype,
-            )(x, context=context, deterministic=deterministic)
+            )(x, context=context, kv=None if kv is None else kv[i],
+              deterministic=deterministic)
         if fmt == "NHWC":
             x = x.reshape(b, h, w, inner)
         else:

@@ -83,8 +83,22 @@ class UNetModel(nn.Module):
     data_format: str = "HWNC"
 
     @nn.compact
-    def __call__(self, x, timesteps, context=None, y=None, *, deterministic=True):
-        """x: [N, H, W, C_in]; timesteps: [N]; context: [N, L, context_dim]."""
+    def __call__(self, x, timesteps, context=None, y=None, *, context_kv=None,
+                 emb_tables=None, deterministic=True):
+        """x: [N, H, W, C_in]; timesteps: [N]; context: [N, L, context_dim].
+
+        Hoisted-invariant arguments (diffusion-sampler fast path; both are
+        bit-identical to the default path and ignored at init):
+          context_kv: {attn_site: ((k, v), ...) per depth} precomputed
+            cross-attn K/V projections of a step-constant context
+            (`precompute_context_kv`); `context` is then unused.
+          emb_tables: {res_site: [(2*)out_ch] row} precomputed
+            `emb_proj(silu(emb))` projections for THIS step's timestep
+            (`precompute_emb_tables` builds the [S, ...] tables; the sampler
+            scan passes one row per step). Skips the timestep-embedding MLP
+            and every ResBlock's emb projection inside the scan. Requires
+            num_classes=None (a class embedding enters emb nonlinearly).
+        """
         assert (y is not None) == (self.num_classes is not None)
         if self.use_spatial_transformer:
             assert self.context_dim is not None
@@ -93,13 +107,28 @@ class UNetModel(nn.Module):
         if num_heads == -1:
             assert num_head_channels != -1
 
-        time_embed_dim = self.model_channels * 4
-        t_emb = timestep_embedding(timesteps, self.model_channels, dtype=jnp.float32)
-        emb = nn.Dense(time_embed_dim, name="time_embed_0", dtype=self.dtype)(t_emb)
-        emb = nn.Dense(time_embed_dim, name="time_embed_2", dtype=self.dtype)(silu(emb))
+        if emb_tables is not None:
+            assert self.num_classes is None, (
+                "emb_tables hoisting is t-only; class-conditional embeddings "
+                "mix into emb before the nonlinear projection"
+            )
+            emb = None
+        else:
+            time_embed_dim = self.model_channels * 4
+            t_emb = timestep_embedding(
+                timesteps, self.model_channels, dtype=jnp.float32
+            )
+            emb = nn.Dense(time_embed_dim, name="time_embed_0", dtype=self.dtype)(t_emb)
+            emb = nn.Dense(time_embed_dim, name="time_embed_2", dtype=self.dtype)(silu(emb))
 
-        if self.num_classes is not None:
-            emb = emb + nn.Embed(self.num_classes, time_embed_dim, name="label_emb")(y)
+            if self.num_classes is not None:
+                emb = emb + nn.Embed(self.num_classes, time_embed_dim, name="label_emb")(y)
+
+        def emb_row(name):
+            return None if emb_tables is None else emb_tables[name]
+
+        def site_kv(name):
+            return None if context_kv is None else context_kv[name]
 
         def attn_layer(ch: int, name: str):
             heads, dim_head = _head_config(
@@ -146,10 +175,14 @@ class UNetModel(nn.Module):
         for level, mult in enumerate(self.channel_mult):
             for i in range(self.num_res_blocks):
                 ch = mult * self.model_channels
-                h = res(ch, f"down_{level}_{i}_res")(h, emb, deterministic=deterministic)
+                h = res(ch, f"down_{level}_{i}_res")(
+                    h, emb, emb_out=emb_row(f"down_{level}_{i}_res"),
+                    deterministic=deterministic,
+                )
                 if ds in self.attention_resolutions:
                     h = attn_layer(ch, f"down_{level}_{i}_attn")(
-                        h, context, deterministic=deterministic
+                        h, context, kv=site_kv(f"down_{level}_{i}_attn"),
+                        deterministic=deterministic,
                     ) if self.use_spatial_transformer else attn_layer(
                         ch, f"down_{level}_{i}_attn"
                     )(h)
@@ -157,7 +190,8 @@ class UNetModel(nn.Module):
             if level != len(self.channel_mult) - 1:
                 if self.resblock_updown:
                     h = res(ch, f"down_{level}_downres", down=True)(
-                        h, emb, deterministic=deterministic
+                        h, emb, emb_out=emb_row(f"down_{level}_downres"),
+                        deterministic=deterministic,
                     )
                 else:
                     h = Downsample(
@@ -171,12 +205,18 @@ class UNetModel(nn.Module):
                 ds *= 2
 
         # ------------------------------------------------ middle
-        h = res(ch, "mid_res1")(h, emb, deterministic=deterministic)
+        h = res(ch, "mid_res1")(
+            h, emb, emb_out=emb_row("mid_res1"), deterministic=deterministic
+        )
         if self.use_spatial_transformer:
-            h = attn_layer(ch, "mid_attn")(h, context, deterministic=deterministic)
+            h = attn_layer(ch, "mid_attn")(
+                h, context, kv=site_kv("mid_attn"), deterministic=deterministic
+            )
         else:
             h = attn_layer(ch, "mid_attn")(h)
-        h = res(ch, "mid_res2")(h, emb, deterministic=deterministic)
+        h = res(ch, "mid_res2")(
+            h, emb, emb_out=emb_row("mid_res2"), deterministic=deterministic
+        )
 
         # ------------------------------------------------ up path
         for level, mult in reversed(list(enumerate(self.channel_mult))):
@@ -184,18 +224,23 @@ class UNetModel(nn.Module):
                 skip = hs.pop()
                 h = jnp.concatenate([h, skip], axis=-1)
                 ch = self.model_channels * mult
-                h = res(ch, f"up_{level}_{i}_res")(h, emb, deterministic=deterministic)
+                h = res(ch, f"up_{level}_{i}_res")(
+                    h, emb, emb_out=emb_row(f"up_{level}_{i}_res"),
+                    deterministic=deterministic,
+                )
                 if ds in self.attention_resolutions:
                     if self.use_spatial_transformer:
                         h = attn_layer(ch, f"up_{level}_{i}_attn")(
-                            h, context, deterministic=deterministic
+                            h, context, kv=site_kv(f"up_{level}_{i}_attn"),
+                            deterministic=deterministic,
                         )
                     else:
                         h = attn_layer(ch, f"up_{level}_{i}_attn")(h)
                 if level and i == self.num_res_blocks:
                     if self.resblock_updown:
                         h = res(ch, f"up_{level}_upres", up=True)(
-                            h, emb, deterministic=deterministic
+                            h, emb, emb_out=emb_row(f"up_{level}_upres"),
+                            deterministic=deterministic,
                         )
                     else:
                         h = Upsample(
@@ -214,6 +259,104 @@ class UNetModel(nn.Module):
         if self.data_format == "HWNC":
             h = jnp.transpose(h, (2, 0, 1, 3))
         return h.astype(jnp.float32)
+
+
+def unet_site_plan(unet: UNetModel):
+    """(res_sites, attn_sites) module names in execution order, mirroring
+    UNetModel.__call__'s level/ds bookkeeping exactly. attn_sites only lists
+    SpatialTransformer sites (cross-attn hoisting targets); AttentionBlock
+    self-attention has no step-constant operand."""
+    res_sites, attn_sites = [], []
+    ds = 1
+    n_levels = len(unet.channel_mult)
+    for level in range(n_levels):
+        for i in range(unet.num_res_blocks):
+            res_sites.append(f"down_{level}_{i}_res")
+            if ds in unet.attention_resolutions and unet.use_spatial_transformer:
+                attn_sites.append(f"down_{level}_{i}_attn")
+        if level != n_levels - 1:
+            if unet.resblock_updown:
+                res_sites.append(f"down_{level}_downres")
+            ds *= 2
+    res_sites.append("mid_res1")
+    if unet.use_spatial_transformer:
+        attn_sites.append("mid_attn")
+    res_sites.append("mid_res2")
+    for level in reversed(range(n_levels)):
+        for i in range(unet.num_res_blocks + 1):
+            res_sites.append(f"up_{level}_{i}_res")
+            if ds in unet.attention_resolutions and unet.use_spatial_transformer:
+                attn_sites.append(f"up_{level}_{i}_attn")
+            if level and i == unet.num_res_blocks:
+                if unet.resblock_updown:
+                    res_sites.append(f"up_{level}_upres")
+                ds //= 2
+    return res_sites, attn_sites
+
+
+def _dense(p, x, dtype):
+    """flax nn.Dense forward from a raw param dict, matching its dtype
+    promotion (inputs/kernel/bias all cast to the computation dtype)."""
+    y = x.astype(dtype) @ p["kernel"].astype(dtype)
+    if "bias" in p:
+        y = y + p["bias"].astype(dtype)
+    return y
+
+
+def precompute_context_kv(unet: UNetModel, params, context):
+    """Hoist the cross-attn K/V projections of a step-constant context out
+    of a diffusion sampling scan.
+
+    The context fed to every SpatialTransformer is identical across all S
+    sampler steps, yet the default path re-projects `to_k(context)` /
+    `to_v(context)` (reference `ldm/modules/attention.py:152-193`) inside
+    every step — ~2 x sites x depth small matmuls per step that a
+    latency-bound program pays full issue cost for. This computes them once:
+    {attn_site: ((k, v), ...) per transformer depth} with k/v [B, M, inner],
+    consumed via UNetModel(context_kv=...). Bit-identical numerics (same
+    dtype promotion as nn.Dense, no bias on to_k/to_v).
+
+    params: the UNet's own param dict (variables["params"][...path to the
+    UNet]); context: [B, M, context_dim].
+    """
+    _, attn_sites = unet_site_plan(unet)
+    out = {}
+    for site in attn_sites:
+        per_depth = []
+        for d in range(unet.transformer_depth):
+            blk = params[site][f"block_{d}"]["attn2"]
+            k = _dense(blk["to_k"], context, unet.dtype)
+            v = _dense(blk["to_v"], context, unet.dtype)
+            per_depth.append((k, v))
+        out[site] = tuple(per_depth)
+    return out
+
+
+def precompute_emb_tables(unet: UNetModel, params, timesteps):
+    """Precompute the timestep-embedding MLP and every ResBlock's
+    `emb_proj(silu(emb))` for ALL sampler timesteps at once.
+
+    Inside a sampling scan the timestep is step-uniform across the batch, so
+    the sinusoidal embedding, the 2-layer time MLP (reference
+    `openaimodel.py:468-473`) and each ResBlock's emb projection
+    (`openaimodel.py:184-205`) collapse to [S, ...] tables computed once
+    outside the scan; the scan slices one row per step and feeds it through
+    UNetModel(emb_tables=...). Requires num_classes=None.
+
+    timesteps: [S] int array (e.g. DDIMSchedule.timesteps, low->high; the
+    sampler reverses the table alongside its alpha/sigma tables).
+    Returns {res_site: [S, (2*)out_ch]}.
+    """
+    assert unet.num_classes is None
+    t_emb = timestep_embedding(timesteps, unet.model_channels, dtype=jnp.float32)
+    emb = _dense(params["time_embed_0"], t_emb, unet.dtype)
+    emb = _dense(params["time_embed_2"], silu(emb), unet.dtype)
+    semb = silu(emb)
+    res_sites, _ = unet_site_plan(unet)
+    return {
+        site: _dense(params[site]["emb_proj"], semb, unet.dtype)
+        for site in res_sites
+    }
 
 
 class AttentionPool2d(nn.Module):

@@ -34,6 +34,9 @@ class DDIMConfig(NamedTuple):
     unroll: int = 1  # lax.scan unroll factor (scheduling experiment knob)
 
 
+_NO_EXTRA = object()  # sentinel: "no per-step extra tables" (None is valid)
+
+
 def _guided_eps(
     eps_fn: EpsFn,
     x: jnp.ndarray,
@@ -41,14 +44,25 @@ def _guided_eps(
     cond,
     uncond,
     scale: float,
+    extra=_NO_EXTRA,
 ) -> jnp.ndarray:
-    """CFG: single batched forward over [uncond; cond] (reference order)."""
+    """CFG: single batched forward over [uncond; cond] (reference order).
+
+    cond/uncond may be arbitrary pytrees of batch-leading arrays (e.g. the
+    hoisted per-site cross-attn K/V of inference.hoist_invariants) — leaves
+    are concatenated batchwise, and XLA's loop-invariant code motion hoists
+    the constant concat out of the sampling scan. `extra` (if given) is this
+    step's slice of the caller's extra_tables, passed through as a fourth
+    eps_fn argument."""
+    args = () if extra is _NO_EXTRA else (extra,)
     if uncond is None or scale == 1.0:
-        return eps_fn(x, t, cond)
+        return eps_fn(x, t, cond, *args)
     x_in = jnp.concatenate([x, x], axis=0)
     t_in = jnp.concatenate([t, t], axis=0)
-    c_in = jnp.concatenate([uncond, cond], axis=0)
-    e_uncond, e_cond = jnp.split(eps_fn(x_in, t_in, c_in), 2, axis=0)
+    c_in = jax.tree_util.tree_map(
+        lambda u, c: jnp.concatenate([u, c], axis=0), uncond, cond
+    )
+    e_uncond, e_cond = jnp.split(eps_fn(x_in, t_in, c_in, *args), 2, axis=0)
     return e_uncond + scale * (e_cond - e_uncond)
 
 
@@ -90,6 +104,7 @@ def ddim_sample(
     return_pred_x0: bool = False,
     return_intermediates: bool = False,
     score_corrector=None,
+    extra_tables=None,
 ):
     """Run the full DDIM chain. Returns final x (and optionally last pred_x0,
     or all per-step (x_inter, pred_x0) stacks when return_intermediates).
@@ -98,6 +113,10 @@ def ddim_sample(
     and composited (mask==1 keeps the known region, as in the reference).
     score_corrector: optional `fn(e_t, x, t, cond) -> e_t` hook applied to
     the (guided) model score (reference ddim.py:180-182 modify_score).
+    extra_tables: optional pytree of [S, ...] per-step tables in the SAME
+    low->high order as ddim.timesteps (e.g. the hoisted timestep-embedding
+    tables of inference.hoist_invariants); reversed alongside the alpha/sigma
+    tables, sliced per step, and passed to eps_fn as a fourth argument.
     """
     b = shape[0]
     rng, init_rng = jax.random.split(rng)
@@ -112,9 +131,11 @@ def ddim_sample(
         ddim.sigmas[::-1],
         jax.random.split(rng, steps),
     )
+    extra_rev = jax.tree_util.tree_map(lambda a: a[::-1], extra_tables)
 
-    def body(carry, per_step):
+    def body(carry, xs_t):
         x, _ = carry
+        per_step, extra_t = xs_t
         ts, a_t, a_prev, sigma_t, step_rng = per_step
         t_vec = jnp.full((b,), ts, jnp.int32)
 
@@ -129,7 +150,8 @@ def ddim_sample(
             x = img_orig * mask + (1.0 - mask) * x
 
         e_t = _guided_eps(
-            eps_fn, x, t_vec, cond, uncond, cfg.unconditional_guidance_scale
+            eps_fn, x, t_vec, cond, uncond, cfg.unconditional_guidance_scale,
+            extra=_NO_EXTRA if extra_tables is None else extra_t,
         )
         if score_corrector is not None:
             e_t = score_corrector(e_t, x, t_vec, cond)
@@ -146,7 +168,9 @@ def ddim_sample(
         ys = (x_prev, pred_x0) if return_intermediates else None
         return (x_prev, pred_x0), ys
 
-    (x, pred_x0), ys = jax.lax.scan(body, (x, x), tables, unroll=cfg.unroll)
+    (x, pred_x0), ys = jax.lax.scan(
+        body, (x, x), (tables, extra_rev), unroll=cfg.unroll
+    )
     if return_intermediates:
         return x, ys  # ([S, B, ...] x_inter, [S, B, ...] pred_x0)
     if return_pred_x0:
