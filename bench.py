@@ -129,8 +129,9 @@ def train_bench(model, batch, b, res, device_kind, remat="dots", peak=197e12):
 
 def main(batch_size: int = 24, steps: int = 50, tiny: bool = False,
          unet_format: str = "HWNC", norm_impl: str = "xla",
-         streams: int = 3, train: bool = False, remat: str = "dots",
-         conv_impl: str = "xla", unroll: int = 1, xla_opts=None):
+         streams: int = 6, train: bool = False, remat: str = "dots",
+         conv_impl: str = "xla", unroll: int = 1, xla_opts=None,
+         hoist: bool = True):
     import jax
     import jax.numpy as jnp
     from ealdm_tpu.utils.cache import enable_compile_cache
@@ -250,17 +251,27 @@ def main(batch_size: int = 24, steps: int = 50, tiny: bool = False,
             variables, mixed, method=model.get_learned_conditioning_pair
         )
 
-        from ealdm_tpu.inference import split_streams
+        from ealdm_tpu.inference import hoist_invariants, split_streams
 
-        def eps_fn(x, t, ctx):
-            return model.apply(variables, x, t, ctx, method=model.apply_model)
+        extra = None
+        if hoist:
+            # hoist the step-invariant cross-attn K/V + timestep-embedding
+            # work out of the 50-step scan (inference.hoist_invariants):
+            # deletes ~50 small ops per step at bit-identical numerics
+            eps_fn, c_pos, c_neg, extra = hoist_invariants(
+                model, variables, ddim, c_pos, c_neg
+            )
+        else:
+            def eps_fn(x, t, ctx):
+                return model.apply(variables, x, t, ctx, method=model.apply_model)
 
         # independent per-stream denoiser chains hide the chip's fixed
         # per-op issue latency (see inference.split_streams)
         eps_fn = split_streams(eps_fn, streams)
 
         z = ddim_sample(
-            eps_fn, rng, (b, zres, zres, 4), ddim, cfg, cond=c_pos, uncond=c_neg
+            eps_fn, rng, (b, zres, zres, 4), ddim, cfg, cond=c_pos,
+            uncond=c_neg, extra_tables=extra,
         )
         return model.apply(variables, z, method=model.decode_first_stage)
 
@@ -373,8 +384,13 @@ if __name__ == "__main__":
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--unet-format", default="HWNC", choices=["HWNC", "NHWC"])
     p.add_argument("--norm-impl", default="xla", choices=["pallas", "xla"])
-    p.add_argument("--streams", type=int, default=3,
-                   help="independent denoiser chains per step (latency hiding)")
+    p.add_argument("--streams", type=int, default=6,
+                   help="independent denoiser chains per step (latency "
+                        "hiding; 6 is the measured-best operating point at "
+                        "batch 24, docs/PERF.md sweep)")
+    p.add_argument("--no-hoist", action="store_true",
+                   help="disable hoisting the step-invariant cross-attn K/V "
+                        "+ timestep-embedding tables out of the DDIM scan")
     p.add_argument("--train", action="store_true",
                    help="measure training step throughput instead of sampling")
     p.add_argument("--remat", default="dots", choices=["none", "dots", "full"])
@@ -391,4 +407,5 @@ if __name__ == "__main__":
                         "repeatable")
     a = p.parse_args()
     main(a.batch_size, a.steps, a.tiny, a.unet_format, a.norm_impl, a.streams,
-         a.train, a.remat, a.conv_impl, a.unroll, a.xla_opt)
+         a.train, a.remat, a.conv_impl, a.unroll, a.xla_opt,
+         hoist=not a.no_hoist)
