@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import concurrent.futures
 import multiprocessing as mp
+import os
 from functools import partial
 from typing import Callable, Sequence
 
@@ -25,9 +26,19 @@ def log_txt_as_img(wh, xc: Sequence[str], size: int = 10) -> np.ndarray:
     for bi in range(b):
         txt = Image.new("RGB", wh, color="white")
         draw = ImageDraw.Draw(txt)
-        try:
-            font = ImageFont.truetype("DejaVuSans.ttf", size=size)
-        except Exception:
+        font = None
+        # repo-committed font first (reference ships data/DejaVuSans.ttf,
+        # ldm/util.py:25), then PIL's system search, then its builtin
+        repo_font = os.path.join(
+            os.path.dirname(os.path.dirname(__file__)), "data", "DejaVuSans.ttf"
+        )
+        for cand in (repo_font, "DejaVuSans.ttf"):
+            try:
+                font = ImageFont.truetype(cand, size=size)
+                break
+            except Exception:
+                continue
+        if font is None:
             font = ImageFont.load_default()
         nc = int(40 * (wh[0] / 256))
         lines = "\n".join(

@@ -12,6 +12,7 @@ paths/values.
 from __future__ import annotations
 
 import os
+import re
 import time
 from typing import Any, Dict, Optional
 
@@ -251,7 +252,9 @@ def get_custom_cond(mode: str, source_path_or_text,
     os.makedirs(dest, exist_ok=True)
     if mode == "text_conditional":
         text = str(source_path_or_text)
-        out = os.path.join(dest, f"custom_{text[:20]}.txt")
+        # slug must be path-safe: prompts can contain '/' etc.
+        slug = re.sub(r"[^A-Za-z0-9_-]", "_", text[:20])
+        out = os.path.join(dest, f"custom_{slug}.txt")
         with open(out, "w") as f:
             f.write(text)
         return out

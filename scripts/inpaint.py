@@ -35,8 +35,11 @@ def make_batch(image_path: str, mask_path: str, size: int = 256):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--indir", type=str, required=True,
-                   help="dir with *.png images and *_mask.png masks")
+    p.add_argument("--indir", type=str,
+                   default=os.path.join(os.path.dirname(__file__), "..",
+                                        "data", "inpainting_examples"),
+                   help="dir with *.png images and *_mask.png masks "
+                        "(default: the committed data/inpainting_examples)")
     p.add_argument("--outdir", type=str, required=True)
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("-r", "--resume", type=str, default="",
