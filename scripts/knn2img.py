@@ -1,38 +1,159 @@
 #!/usr/bin/env python
-"""Retrieval-augmented sampling (RDM-style).
+"""Retrieval-augmented sampling (RDM).
 
-Parity target: `/root/reference/scripts/knn2img.py` — embed text/image
-queries, retrieve k nearest patch embeddings from the database, stack query
-+ neighbours as the cross-attention conditioning, sample with CFG.
+Parity target: `/root/reference/scripts/knn2img.py` — load the trained RDM
+from config+checkpoint (`knn2img.py:41-56,309-310`), embed queries with a
+frozen CLIP text tower (`:356`) or, for image-image retrieval, the frozen
+CLIP image tower (`:124,135-161` load_retriever/search), retrieve the k
+nearest patch embeddings, stack [query ; neighbours] as the cross-attention
+conditioning (`:361`), sample with CFG via DDIM or PLMS (`:358-375`), and
+save per-sample PNGs plus a grid (`:367-397`).
 
-TPU-native: exact matmul k-NN (ealdm_tpu/retrieval.py) instead of ScaNN;
-embedders are the in-repo trunks with pretrained-weight import hooks.
+TPU-native: exact/partitioned MXU-matmul k-NN (ealdm_tpu/retrieval.py)
+instead of ScaNN; one jitted sampling program with the step-invariant
+conditioning work hoisted out of the scan. CLIP trunks are faithful
+architectures with oracle-tested weight-import hooks; without a weights
+file (zero-egress environments) they run random-init, which exercises the
+full pipeline but not CLIP semantics.
 """
 from __future__ import annotations
 
 import argparse
 import os
 import sys
+from itertools import islice
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 
 
+def chunk(it, size):
+    it = iter(it)
+    return iter(lambda: tuple(islice(it, size)), ())
+
+
 def get_parser():
     p = argparse.ArgumentParser()
-    p.add_argument("--prompt", type=str, default="a river flowing through a forest")
+    p.add_argument("--prompt", type=str,
+                   default="a happy bear reading a newspaper, oil on canvas")
+    p.add_argument("--from_file", type=str, default=None,
+                   help="prompts file, one per line (reference --from-file)")
+    p.add_argument("--query_image", type=str, default=None,
+                   help="image-image retrieval: embed this image with the "
+                        "frozen CLIP image tower instead of a text prompt "
+                        "(reference load_retriever, knn2img.py:124,135-161)")
+    p.add_argument("--config", type=str,
+                   default="configs/retrieval-augmented-diffusion/768x768.yaml")
+    p.add_argument("--ckpt", type=str, default=None,
+                   help="checkpoint dir/file for --config (random init if "
+                        "absent: no pretrained RDM exists in a zero-egress "
+                        "environment)")
+    p.add_argument("-r", "--resume", type=str, default=None,
+                   help="trained run logdir; resolves config + checkpoints "
+                        "like sample_diffusion.py (overrides --config/--ckpt)")
+    p.add_argument("--clip_type", type=str, default="ViT-L/14",
+                   choices=["ViT-B/32", "ViT-B/16", "ViT-L/14"])
     p.add_argument("--database", type=str, required=True,
-                   help="searcher index .npz (from train_searcher.py)")
+                   help="searcher index .npz (train_searcher.py) or a raw "
+                        "embedding database .npz (searcher fit on the fly, "
+                        "like the reference for small databases)")
+    p.add_argument("--use_neighbors", action="store_true",
+                   help="append retrieved neighbours to the conditioning")
+    p.add_argument("--knn", type=int, default=10)
     p.add_argument("--outdir", type=str, default="outputs/knn2img-samples")
-    p.add_argument("--knn", type=int, default=4)
     p.add_argument("--ddim_steps", type=int, default=50)
+    p.add_argument("--plms", action="store_true")
     p.add_argument("--ddim_eta", type=float, default=0.0)
     p.add_argument("--n_samples", type=int, default=2)
+    p.add_argument("--n_iter", type=int, default=1)
+    p.add_argument("--n_rows", type=int, default=0)
     p.add_argument("--scale", type=float, default=5.0)
-    p.add_argument("--H", type=int, default=256)
-    p.add_argument("--W", type=int, default=256)
+    p.add_argument("--skip_grid", action="store_true")
+    p.add_argument("--H", type=int, default=768)
+    p.add_argument("--W", type=int, default=768)
     return p
+
+
+def load_model(opt):
+    """(model, variables) from -r logdir or --config [--ckpt]."""
+    import jax
+    import jax.numpy as jnp
+    import yaml
+
+    from ealdm_tpu.config import model_from_config
+    from ealdm_tpu.training import init_train_state
+    from ealdm_tpu.training.checkpoint import CheckpointManager
+
+    if opt.resume:
+        from sample_diffusion import load_run
+
+        config, ckpt_dir, _ = load_run(opt.resume)
+    else:
+        with open(opt.config) as f:
+            config = yaml.safe_load(f)
+        ckpt_dir = opt.ckpt
+
+    model, _ = model_from_config(config["model"])
+    mp = config["model"]["params"]
+    res = mp["first_stage_config"]["params"]["ddconfig"]["resolution"]
+    ctx_dim = mp["unet_config"]["params"]["context_dim"]
+
+    b = 1
+    batch = {
+        model.first_stage_key: jnp.zeros((b, res, res, 3), jnp.float32),
+        model.cond_stage_key: jnp.zeros((b, 1, ctx_dim), jnp.float32),
+    }
+    state, _ = init_train_state(
+        model, jax.random.PRNGKey(0), batch, use_ema=True
+    )
+    if ckpt_dir:
+        if os.path.isfile(ckpt_dir):
+            ckpt_dir = os.path.dirname(ckpt_dir)
+        state = CheckpointManager(ckpt_dir, monitor=None).restore_last(
+            jax.device_get(state)
+        )
+        params = state.ema.shadow if state.ema is not None else state.params
+    else:
+        print("WARNING: sampling from RANDOM-INIT weights (no --ckpt/-r)")
+        params = state.params
+    return model, {"params": params}, config
+
+
+def embed_queries(opt, n):
+    """[n, D] L2-normalized CLIP query embeddings (text or image)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ealdm_tpu.models.encoders import (
+        FrozenClipImageEmbedder,
+        FrozenCLIPTextEmbedder,
+    )
+
+    if opt.query_image:
+        from PIL import Image
+
+        im = Image.open(opt.query_image).convert("RGB")
+        x = np.asarray(im).astype(np.float32) / 127.5 - 1.0
+        x = jnp.asarray(np.repeat(x[None], n, axis=0))
+        emb = FrozenClipImageEmbedder.from_version(opt.clip_type)
+        variables = jax.jit(emb.init)(jax.random.PRNGKey(0), x[:1])
+        q = np.asarray(jax.jit(emb.apply)(variables, x))
+        return q, [f"<image:{os.path.basename(opt.query_image)}>"] * n
+
+    if opt.from_file:
+        with open(opt.from_file) as f:
+            texts = f.read().splitlines()
+        texts = (texts * ((n + len(texts) - 1) // len(texts)))[:n]
+    else:
+        texts = [opt.prompt] * n
+    emb = FrozenCLIPTextEmbedder.from_version(opt.clip_type)
+    # tokenize outside jit, embed in one jitted call
+    dummy = jnp.zeros((1, 77), jnp.int32)
+    variables = jax.jit(emb.init)(jax.random.PRNGKey(0), dummy)
+    toks = emb.bind(variables).tokenize(texts)
+    z = jax.jit(emb.apply)(variables, jnp.asarray(toks))  # [n, 1, D]
+    return np.asarray(z[:, 0, :]), texts
 
 
 def main():
@@ -43,74 +164,104 @@ def main():
     import ealdm_tpu
 
     ealdm_tpu.enable_inference_optimizations()
-    from ealdm_tpu.inference import make_eps_fn
-    from ealdm_tpu.models.ddpm import LatentDiffusion
+    from ealdm_tpu.inference import hoist_invariants
     from ealdm_tpu.ops.schedules import DDIMSchedule, DiffusionSchedule
-    from ealdm_tpu.retrieval import Searcher, _embed_texts_fn
-    from ealdm_tpu.samplers import DDIMConfig, ddim_sample
+    from ealdm_tpu.retrieval import Searcher
+    from ealdm_tpu.samplers import DDIMConfig, ddim_sample, plms_sample
 
-    searcher = Searcher.load(opt.database)
-    embed_texts = _embed_texts_fn()
-    q = np.asarray(embed_texts([opt.prompt] * opt.n_samples))
-    nns = searcher.search(q, k=opt.knn)
-    # conditioning = [query ; k neighbour embeddings] per sample
-    ctx_dim = searcher.dim
-    cond = np.concatenate([q[:, None, :], nns["nn_embeddings"]], axis=1)
-    uncond = np.zeros_like(cond)
-
-    model = LatentDiffusion(
-        unet_config=dict(
-            image_size=opt.H // 8, in_channels=16, out_channels=16,
-            model_channels=192, attention_resolutions=[4, 2, 1],
-            num_res_blocks=2, channel_mult=[1, 2, 4],
-            num_head_channels=32, use_spatial_transformer=True,
-            transformer_depth=1, context_dim=ctx_dim,
-        ),
-        first_stage_config={
-            "target": "ldm.models.autoencoder.VQModelInterface",
-            "params": {
-                "embed_dim": 16, "n_embed": 16384,
-                "ddconfig": dict(
-                    double_z=False, z_channels=16, resolution=opt.H,
-                    in_channels=3, out_ch=3, ch=128, ch_mult=[1, 1, 2, 2, 4],
-                    num_res_blocks=2, attn_resolutions=[16], dropout=0.0,
-                ),
-            },
-        },
-        cond_stage_config="__is_unconditional__",
-        conditioning_key="crossattn",
-        timesteps=1000,
+    model, variables, config = load_model(opt)
+    mp = config["model"]["params"]
+    ctx_dim = mp["unet_config"]["params"]["context_dim"]
+    zch = mp["unet_config"]["params"]["in_channels"]
+    f = 2 ** (
+        len(mp["first_stage_config"]["params"]["ddconfig"]["ch_mult"]) - 1
     )
-    rng = jax.random.PRNGKey(0)
-    batch = {"img": jnp.zeros((opt.n_samples, opt.H, opt.W, 3))}
-    variables = jax.jit(
-        lambda r: model.init({"params": r, "dropout": r}, batch, r,
-                             method=model.full_init)
-    )(rng)
 
-    sched = DiffusionSchedule.create(timesteps=model.timesteps)
+    # searcher: prebuilt index, or fit on the fly from a raw database
+    # (reference trains ScaNN on the fly for <2e4 entries, knn2img.py:135)
+    try:
+        searcher = Searcher.load(opt.database)
+    except (KeyError, ValueError):
+        db = dict(np.load(opt.database))
+        searcher = Searcher.from_database(db)
+    assert searcher.dim == ctx_dim, (
+        f"database dim {searcher.dim} != model context_dim {ctx_dim}; "
+        f"pick a matching --clip_type/database"
+    )
+
+    q, texts = embed_queries(opt, opt.n_samples)
+    print("sampling prompts:", texts[:2], "..." if len(texts) > 2 else "")
+    c = q[:, None, :]  # [B, 1, D] query token
+    if opt.use_neighbors:
+        nns = searcher.search(q, k=opt.knn)
+        c = np.concatenate([c, nns["nn_embeddings"]], axis=1)
+    uc = np.zeros_like(c) if opt.scale != 1.0 else None
+
+    sched = DiffusionSchedule.create(
+        timesteps=model.timesteps, beta_schedule=model.beta_schedule,
+        linear_start=model.linear_start, linear_end=model.linear_end,
+    )
     ddim = DDIMSchedule.create(sched, opt.ddim_steps, eta=opt.ddim_eta)
-    cfg = DDIMConfig(num_steps=opt.ddim_steps, eta=opt.ddim_eta,
-                     unconditional_guidance_scale=opt.scale,
-                     parameterization=model.parameterization)
-    eps_fn = make_eps_fn(model, variables)
-    zres = opt.H // 16
+    cfg = DDIMConfig(
+        num_steps=opt.ddim_steps, eta=opt.ddim_eta,
+        unconditional_guidance_scale=opt.scale,
+        parameterization=model.parameterization,
+    )
+    shape = (opt.n_samples, opt.H // f, opt.W // f, zch)
 
-    @jax.jit
-    def run(r):
-        z = ddim_sample(
-            eps_fn, r, (opt.n_samples, zres, zres, 16), ddim, cfg,
-            cond=jnp.asarray(cond), uncond=jnp.asarray(uncond),
-        )
+    cond = jnp.asarray(c)
+    uncond = None if uc is None else jnp.asarray(uc)
+    eps_fn, cond, uncond, extra = hoist_invariants(
+        model, variables, ddim, cond, uncond
+    )
+
+    def run(rng):
+        if opt.plms:
+            z = plms_sample(eps_fn, rng, shape, ddim, cfg, cond=cond,
+                            uncond=uncond)
+        else:
+            z = ddim_sample(eps_fn, rng, shape, ddim, cfg, cond=cond,
+                            uncond=uncond, extra_tables=extra)
         return model.apply(variables, z, method=model.decode_first_stage)
 
-    imgs = np.asarray(run(jax.random.PRNGKey(1)))
-    os.makedirs(opt.outdir, exist_ok=True)
+    run = jax.jit(run)
+
+    sample_path = os.path.join(opt.outdir, "samples")
+    os.makedirs(sample_path, exist_ok=True)
+    base_count = len(os.listdir(sample_path))
+    grid_count = len([f_ for f_ in os.listdir(opt.outdir)
+                      if f_.startswith("grid")])
+    print(f"sampling scale for cfg is {opt.scale:.2f}")
+
     from PIL import Image
 
-    for i, im in enumerate(((np.clip(imgs, -1, 1) + 1) * 127.5).astype(np.uint8)):
-        Image.fromarray(im).save(os.path.join(opt.outdir, f"knn_{i:04d}.png"))
-    print(f"Wrote {len(imgs)} retrieval-augmented samples to {opt.outdir}")
+    all_samples = []
+    for it in range(opt.n_iter):
+        imgs = np.asarray(run(jax.random.PRNGKey(1 + it)))
+        imgs8 = ((np.clip(imgs, -1, 1) + 1) * 127.5).astype(np.uint8)
+        for im in imgs8:
+            Image.fromarray(im).save(
+                os.path.join(sample_path, f"{base_count:05}.png")
+            )
+            base_count += 1
+        all_samples.append(imgs8)
+
+    if not opt.skip_grid:
+        stack = np.concatenate(all_samples, axis=0)
+        n_rows = opt.n_rows if opt.n_rows > 0 else opt.n_samples
+        rows = [
+            np.concatenate(list(stack[i:i + n_rows]), axis=1)
+            for i in range(0, len(stack), n_rows)
+        ]
+        w = max(r.shape[1] for r in rows)
+        rows = [
+            np.pad(r, ((0, 0), (0, w - r.shape[1]), (0, 0))) for r in rows
+        ]
+        Image.fromarray(np.concatenate(rows, axis=0)).save(
+            os.path.join(opt.outdir, f"grid-{grid_count:04}.png")
+        )
+
+    print(f"Your samples are ready and waiting for you here: \n{opt.outdir}")
 
 
 if __name__ == "__main__":

@@ -41,6 +41,10 @@ def main():
     if opt.num_leaves:
         searcher = Searcher.from_database(db)
         searcher.build_partitions(opt.num_leaves)
+        # persist a probe count, else the loaded index silently falls back
+        # to the exact full matmul (same ratio as the reference's
+        # num_leaves_to_search = num_leaves//20, train_searcher.py:62-95)
+        searcher.default_leaves_to_search = max(opt.num_leaves // 20, 1)
     else:
         searcher = auto_build_searcher(db)
     os.makedirs(os.path.dirname(opt.target_path) or ".", exist_ok=True)
