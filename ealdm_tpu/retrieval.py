@@ -171,14 +171,29 @@ class Searcher:
             cand = self.embeddings[cand_idx]  # [B, C, D]
             scores = np.einsum("bd,bcd->bc", q, cand)
             scores = np.where(cand_mask, scores, -np.inf)
-            kk = min(k, scores.shape[1])
-            top = np.argsort(-scores, axis=1)[:, :kk]
+            kk = min(k, self.num_entries)
+            top = np.argsort(-scores, axis=1)[:, : min(kk, scores.shape[1])]
             rows = np.arange(q.shape[0])[:, None]
             idx = cand_idx[rows, top]
             top_scores = scores[rows, top]
             valid = np.isfinite(top_scores)
             idx = np.where(valid, idx, -1)
             emb = np.where(valid[..., None], self.embeddings[idx], 0.0)
+            if idx.shape[1] < kk:
+                # probed candidate pool smaller than k: keep the documented
+                # fixed [B, min(k, num_entries)] width via -1/-inf/0 padding
+                pad = kk - idx.shape[1]
+                b_ = idx.shape[0]
+                idx = np.concatenate(
+                    [idx, np.full((b_, pad), -1, idx.dtype)], axis=1
+                )
+                top_scores = np.concatenate(
+                    [top_scores, np.full((b_, pad), -np.inf, top_scores.dtype)],
+                    axis=1,
+                )
+                emb = np.concatenate(
+                    [emb, np.zeros((b_, pad, emb.shape[-1]), emb.dtype)], axis=1
+                )
             return {
                 "nn_indices": idx,
                 "nn_scores": top_scores,

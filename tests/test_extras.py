@@ -314,6 +314,10 @@ def test_notebook_cond_selection_helpers(tmp_path):
     root = str(tmp_path / "example_conditioning")
     p = nh.get_custom_cond("text_conditional", "A cake with cream!", root=root)
     assert open(p).read() == "A cake with cream!"
+    # path characters in the prompt must not escape the target directory
+    p_evil = nh.get_custom_cond("text_conditional", "a/b\\c ../x", root=root)
+    assert os.path.dirname(p_evil) == os.path.join(root, "text_conditional")
+    assert open(p_evil).read() == "a/b\\c ../x"
     path, files = nh.get_cond_options("text_conditional", root=root)
     assert files and path.endswith("text_conditional")
     sel = nh.select_cond_path("text_conditional", index=0, root=root)

@@ -192,6 +192,11 @@ def test_searcher_partitioned_padding_sentinels(rng):
     s.build_partitions(num_leaves=6, iters=4)
     q = rng.randn(2, 4).astype(np.float32)
     out = s.search(q, k=10, leaves_to_search=1)
+    # fixed [B, min(k, num_entries)] width even when the probed pool
+    # (n_probe * max_leaf) is smaller than k — same as the exact path
+    assert out["nn_indices"].shape == (2, 10)
+    assert out["nn_scores"].shape == (2, 10)
+    assert out["nn_embeddings"].shape == (2, 10, 4)
     inval = ~np.isfinite(out["nn_scores"])
     assert inval.any()  # one leaf of ~2 members cannot fill k=10
     np.testing.assert_array_equal(out["nn_indices"][inval], -1)
