@@ -49,16 +49,23 @@ class CLIPZeroShot:
         embed_dim: int = 512,
         image_size: int = 224,
         prompt: str = "a photo taken on a {} day",
+        text_kwargs: Optional[dict] = None,
+        image_kwargs: Optional[dict] = None,
     ):
+        """text_kwargs/image_kwargs: extra FrozenCLIPTextEmbedder /
+        FrozenClipImageEmbedder fields (width/n_layer/...), e.g. to build a
+        reduced-geometry scorer whose towers match a small checkpoint."""
         from .models.encoders import (
             FrozenCLIPTextEmbedder,
             FrozenClipImageEmbedder,
         )
 
         self.class_names = list(class_names)
-        self.text_model = FrozenCLIPTextEmbedder(n_embed=embed_dim)
+        self.text_model = FrozenCLIPTextEmbedder(
+            n_embed=embed_dim, **(text_kwargs or {})
+        )
         self.image_model = FrozenClipImageEmbedder(
-            out_dim=embed_dim, image_size=image_size
+            out_dim=embed_dim, image_size=image_size, **(image_kwargs or {})
         )
         rng = jax.random.PRNGKey(0)  # pinned: scorer is fixed across runs
         from .models.text_transformer import SimpleTokenizer
@@ -295,9 +302,16 @@ class ThirdStageModel:
     @property
     def clip_scorer(self) -> "CLIPZeroShot":
         """CLIP-style zero-shot scorer (image content vs class-name text
-        embeddings) — NOT the fc_w head's own predictions."""
+        embeddings) — NOT the fc_w head's own predictions. Real CLIP weights
+        auto-load from $EALDM_WEIGHTS_DIR when a canonical checkpoint file
+        is present (weights.find_weights)."""
         if self._clip_scorer is None:
             self._clip_scorer = CLIPZeroShot(image_size=self._clip_image_size)
+            from .weights import find_weights, load_state_dict_file
+
+            path = find_weights("clip")
+            if path is not None:
+                self._clip_scorer.load_clip_weights(load_state_dict_file(path))
         return self._clip_scorer
 
     def _fid_feats(self, imgs):
@@ -306,8 +320,9 @@ class ThirdStageModel:
         `FrechetInceptionDistance(feature=2048)`), seed-0 init, independent
         of `seed` and of head training. Real pt_inception-2015 weights load
         via `load_fid_weights` (the import map is oracle-tested,
-        tests/test_eval_trunks.py); images arrive [-1,1] and are mapped to
-        the trunk's [0,1] convention."""
+        tests/test_eval_trunks.py) and auto-load from $EALDM_WEIGHTS_DIR
+        when a canonical checkpoint file is present; images arrive [-1,1]
+        and are mapped to the trunk's [0,1] convention."""
         if self._fid is None:
             from .models.inception import InceptionV3Features
 
@@ -318,6 +333,11 @@ class ThirdStageModel:
             fn = jax.jit(
                 lambda v, im: fid_net.apply(v, (im + 1.0) * 0.5))
             self._fid = (variables, fn)
+            from .weights import find_weights, load_state_dict_file
+
+            path = find_weights("inception")
+            if path is not None:
+                self.load_fid_weights(load_state_dict_file(path))
         return self._fid[1](self._fid[0], imgs)
 
     def load_fid_weights(self, state_dict):
