@@ -9,7 +9,10 @@ pointed at the real `vocab.txt`, it reproduces HF token ids bit-for-bit
 (asserted in tests against `transformers.BertTokenizer` running on the same
 vocab file). The environment is zero-egress, so the committed default vocab
 (`vocab_en.txt`) is a compact English vocab built by `train_wordpiece`;
-swap in a full BERT vocab via `vocab_path` when one is available.
+swap in a full BERT vocab via `vocab_path`, or globally by pointing the
+``EALDM_VOCAB_PATH`` env var at a real 30,522-line ``vocab.txt``
+(``default_vocab_path``) — every tokenizer construction site resolves
+through it, so a deployment drops in `bert-base-uncased` ids end to end.
 """
 from __future__ import annotations
 
@@ -21,6 +24,15 @@ from typing import Dict, Iterable, List, Sequence
 import numpy as np
 
 DEFAULT_VOCAB_PATH = os.path.join(os.path.dirname(__file__), "vocab_en.txt")
+
+VOCAB_ENV_VAR = "EALDM_VOCAB_PATH"
+
+
+def default_vocab_path() -> str:
+    """Vocab file every tokenizer uses unless given an explicit path:
+    $EALDM_VOCAB_PATH (e.g. a real `bert-base-uncased` vocab.txt) when set,
+    else the committed compact vocab."""
+    return os.environ.get(VOCAB_ENV_VAR) or DEFAULT_VOCAB_PATH
 
 PAD, UNK, CLS, SEP, MASK = "[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"
 SPECIALS = (PAD, UNK, CLS, SEP, MASK)
@@ -123,10 +135,11 @@ class WordPieceTokenizer:
 
     def __init__(
         self,
-        vocab_path: str = DEFAULT_VOCAB_PATH,
+        vocab_path: str = None,
         max_len: int = 77,
         lowercase: bool = True,
     ):
+        vocab_path = vocab_path or default_vocab_path()
         with open(vocab_path) as f:
             tokens = [line.rstrip("\n") for line in f if line.rstrip("\n")]
         self.vocab: Dict[str, int] = {t: i for i, t in enumerate(tokens)}

@@ -45,9 +45,9 @@ class SimpleTokenizer:
         self.max_len = max_len
         self._encode_fn: Optional[Callable] = None
         self._wordpiece = None
-        from ..data.tokenizer import DEFAULT_VOCAB_PATH, WordPieceTokenizer
+        from ..data.tokenizer import WordPieceTokenizer, default_vocab_path
 
-        path = vocab_path or DEFAULT_VOCAB_PATH
+        path = vocab_path or default_vocab_path()
         if os.path.exists(path):
             wp = WordPieceTokenizer(path, max_len=max_len)
             if len(wp) <= vocab_size:
