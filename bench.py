@@ -127,29 +127,18 @@ def train_bench(model, batch, b, res, device_kind, remat="dots", peak=197e12):
           file=sys.stderr)
 
 
-def main(batch_size: int = 24, steps: int = 50, tiny: bool = False,
-         unet_format: str = "HWNC", norm_impl: str = "xla",
-         streams: int = 6, train: bool = False, remat: str = "dots",
-         conv_impl: str = "xla", unroll: int = 1, xla_opts=None,
-         hoist: bool = True):
+def build_model(tiny: bool = False, batch_size: int = 24,
+                unet_format: str = "HWNC"):
+    """Flagship model + synthetic batch + materialized variables.
+
+    Returns (model, variables, batch, res, zres). Shared by the bench
+    timing loops and scripts/perf/trace_breakdown.py so traces profile
+    the exact benchmarked program."""
     import jax
     import jax.numpy as jnp
-    from ealdm_tpu.utils.cache import enable_compile_cache
-    enable_compile_cache()
     import numpy as np
 
-    from ealdm_tpu.ops.norms import set_norm_impl
-    set_norm_impl(norm_impl)
-    from ealdm_tpu.ops.winograd import set_conv_impl
-    set_conv_impl(conv_impl)
-
     from ealdm_tpu.models.ddpm import LatentDiffusion
-    from ealdm_tpu.ops.schedules import DDIMSchedule, DiffusionSchedule
-    from ealdm_tpu.samplers import DDIMConfig, ddim_sample
-
-    import ealdm_tpu
-
-    ealdm_tpu.enable_inference_optimizations()
 
     if tiny:
         res, zres, ch, nembed = 64, 8, 32, 64
@@ -232,11 +221,29 @@ def main(batch_size: int = 24, steps: int = 50, tiny: bool = False,
     variables = jax.tree_util.tree_map(
         lambda s: jnp.full(s.shape, 0.02, s.dtype), shapes
     )
+    return model, variables, batch, res, zres
 
-    if train:
-        device_kind = jax.devices()[0].device_kind
-        return train_bench(model, batch, b, res, device_kind, remat,
-                           nominal_peak(device_kind))
+
+def build_sample_program(batch_size: int = 24, steps: int = 50,
+                         streams: int = 6, hoist: bool = True,
+                         tiny: bool = False, unet_format: str = "HWNC",
+                         unroll: int = 1, xla_opts=None):
+    """The benchmarked sampling program, jitted.
+
+    Returns (fn, args, info): call fn(*args); info carries the pieces the
+    bench timing/MFU loop needs (model, variables, batch, res, zres)."""
+    import jax
+    import jax.numpy as jnp
+
+    import ealdm_tpu
+    from ealdm_tpu.ops.schedules import DDIMSchedule, DiffusionSchedule
+    from ealdm_tpu.samplers import DDIMConfig, ddim_sample
+
+    ealdm_tpu.enable_inference_optimizations()
+    model, variables, batch, res, zres = build_model(
+        tiny, batch_size, unet_format
+    )
+    b = batch_size
 
     sched = DiffusionSchedule.create(
         timesteps=1000, linear_start=0.0015, linear_end=0.0195
@@ -284,6 +291,41 @@ def main(batch_size: int = 24, steps: int = 50, tiny: bool = False,
             raise SystemExit(f"--xla-opt expects key=value, got {kv!r}")
     copts = dict(kv.split("=", 1) for kv in (xla_opts or []))
     fn = jax.jit(sample_program, compiler_options=copts or None)
+    args = (variables, batch["mixed"], jax.random.PRNGKey(1))
+    info = dict(model=model, variables=variables, batch=batch, res=res,
+                zres=zres)
+    return fn, args, info
+
+
+def main(batch_size: int = 24, steps: int = 50, tiny: bool = False,
+         unet_format: str = "HWNC", norm_impl: str = "xla",
+         streams: int = 6, train: bool = False, remat: str = "dots",
+         conv_impl: str = "xla", unroll: int = 1, xla_opts=None,
+         hoist: bool = True):
+    import jax
+    import jax.numpy as jnp
+    from ealdm_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
+    import numpy as np
+
+    from ealdm_tpu.ops.norms import set_norm_impl
+    set_norm_impl(norm_impl)
+    from ealdm_tpu.ops.winograd import set_conv_impl
+    set_conv_impl(conv_impl)
+
+    if train:
+        model, variables, batch, res, zres = build_model(
+            tiny, batch_size, unet_format
+        )
+        device_kind = jax.devices()[0].device_kind
+        return train_bench(model, batch, batch_size, res, device_kind, remat,
+                           nominal_peak(device_kind))
+
+    fn, _, info = build_sample_program(
+        batch_size, steps, streams, hoist, tiny, unet_format, unroll, xla_opts
+    )
+    model, variables, batch = info["model"], info["variables"], info["batch"]
+    res, zres, b = info["res"], info["zres"], batch_size
 
     # XLA-reported FLOPs of the WHOLE program (cond tower + 50-step CFG
     # scan + VQ decode) -> MFU against the chip's nominal bf16 peak.

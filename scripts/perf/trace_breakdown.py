@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""Decompose one DDIM sampling run from a real device trace.
+
+Captures a `jax.profiler` xplane trace of the flagship 256^2 DDIM-50 CFG
+sampling program (the exact `bench.py` program, via
+`bench.build_sample_program`) on the TPU, then aggregates per-HLO self-time
+through xprof's own `hlo_stats` pipeline into (a) a per-category table and
+(b) a per-conv-output-shape table with achieved model-FLOP rates.
+
+This is the evidence behind the throughput-plateau conclusion in
+docs/PERF.md ("Where 45 ms/step actually goes", round 4): the device is
+~100% busy (sum of self-times == wall time), convolution fusions carry
+~73% of the time at 81-95% of the chip's nominal bf16 peak, attention runs
+at its d_head=32 algorithmic ceiling, and the remainder is layout/fusion
+glue — i.e. the program is compute-bound at close to its achievable rates,
+not issue-latency-bound as round 3 hypothesized.
+
+Usage (real chip, ~4 min incl. compile):
+    timeout 580 python scripts/perf/trace_breakdown.py [--batch 24]
+        [--streams 6] [--steps 50] [--logdir /tmp/ealdm_trace]
+        [--no-hoist] [--no-capture]
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import re
+import sys
+from collections import defaultdict
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+
+def capture(logdir: str, batch: int, steps: int, streams: int,
+            hoist: bool) -> None:
+    """Run the bench sampling program once under jax.profiler."""
+    import jax
+
+    import bench
+
+    # build + warm the exact bench program, then trace one execution
+    run, args, _ = bench.build_sample_program(
+        batch_size=batch, steps=steps, streams=streams, hoist=hoist
+    )
+    out = run(*args)
+    jax.block_until_ready(out)
+    from ealdm_tpu.utils.profiling import fence, trace
+
+    with trace(logdir):
+        out = run(*args)
+        fence(out)
+
+
+def hlo_stats_rows(logdir: str):
+    """Per-HLO stats (xprof `hlo_stats` tool) from the newest xplane.pb:
+    list of dicts keyed by column id (self time in us, category, achieved
+    model GFLOP/s, boundedness, op expression)."""
+    from xprof.convert import raw_to_tool_data as rtd
+
+    paths = sorted(
+        glob.glob(os.path.join(logdir, "**", "*.xplane.pb"), recursive=True),
+        key=os.path.getmtime,
+    )
+    if not paths:
+        raise SystemExit(f"no xplane.pb under {logdir}")
+    data, _ = rtd.xspace_to_tool_data([paths[-1]], "hlo_stats", {})
+    table = json.loads(data.decode() if isinstance(data, bytes) else data)
+    cols = [c["id"] for c in table["cols"]]
+    return [
+        {k: (cell["v"] if cell else None) for k, cell in zip(cols, r["c"])}
+        for r in table["rows"]
+    ]
+
+
+def report(rows, steps: int):
+    by_cat = defaultdict(float)
+    by_bound = defaultdict(float)
+    conv = defaultdict(lambda: [0.0, 0.0, 0])  # shape -> [ms, gflop, sites]
+    attn_ms = 0.0
+    for r in rows:
+        ms = float(r["total_self_time"]) / 1e3
+        cat = r["category"]
+        by_cat[cat] += ms
+        by_bound[r["bound_by"] or "?"] += ms
+        if cat == "convolution fusion":
+            m = re.search(r"= \S+\[([\d,]+)\]", r["hlo_op_expression"])
+            sig = m.group(1) if m else "?"
+            rate = float(r["model_flop_rate"] or 0.0)  # GFLOP/s
+            a = conv[sig]
+            a[0] += ms
+            a[1] += rate * ms / 1e3  # total GFLOP
+            a[2] += 1
+        if "_flash_" in (r["hlo_op_name"] or ""):
+            attn_ms += ms
+    total = sum(by_cat.values())
+
+    print(f"\ndevice op-busy {total:.0f} ms over the traced run "
+          f"({total / steps:.2f} ms/step incl. cond tower + decode)")
+    print(f"{'HLO category':38s} {'total ms':>9s} {'ms/step':>8s} {'%':>6s}")
+    for cat, ms in sorted(by_cat.items(), key=lambda kv: -kv[1]):
+        if ms < 0.5:
+            continue
+        print(f"{cat:38s} {ms:9.1f} {ms / steps:8.2f} {100 * ms / total:5.1f}%")
+    print(f"\n{'bound_by':38s} {'total ms':>9s} {'%':>6s}")
+    for b, ms in sorted(by_bound.items(), key=lambda kv: -kv[1]):
+        print(f"{b:38s} {ms:9.1f} {100 * ms / total:5.1f}%")
+
+    conv_tot = sum(a[0] for a in conv.values())
+    conv_gf = sum(a[1] for a in conv.values())
+    print(f"\nconvolution fusions: {conv_tot:.0f} ms, "
+          f"{conv_gf / 1e3:.1f} TFLOP -> "
+          f"{conv_gf / conv_tot:.0f} TF/s achieved overall")
+    print(f"{'conv output shape':>22s} {'ms':>8s} {'%conv':>6s} "
+          f"{'TF/s':>7s} {'sites':>5s}")
+    for sig, (ms, gf, n) in sorted(conv.items(), key=lambda kv: -kv[1][0])[:16]:
+        print(f"{sig:>22s} {ms:8.1f} {100 * ms / conv_tot:5.1f}% "
+              f"{gf / ms if ms else 0.0:7.1f} {n:5d}")
+    if attn_ms:
+        print(f"\nflash-attention custom-calls: {attn_ms:.0f} ms "
+              f"({100 * attn_ms / total:.1f}% of busy)")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=24)
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--streams", type=int, default=6)
+    ap.add_argument("--no-hoist", action="store_true")
+    ap.add_argument("--logdir", default="/tmp/ealdm_trace")
+    ap.add_argument("--no-capture", action="store_true",
+                    help="only analyze an existing trace in --logdir")
+    a = ap.parse_args()
+
+    if not a.no_capture:
+        capture(a.logdir, a.batch, a.steps, a.streams, not a.no_hoist)
+    report(hlo_stats_rows(a.logdir), a.steps)
+
+
+if __name__ == "__main__":
+    main()
