@@ -61,8 +61,11 @@ def train_bench(model, batch, b, res, device_kind, remat="dots", peak=197e12):
     the full LatentDiffusion train step (frozen first stage, EMA, AdamW),
     mirroring the reference's epoch-time instrumentation
     (reference main.py:457-467 CUDACallback). No A100 train anchor exists
-    (BASELINE.md records none), so MFU — against both the nominal and the
-    measured matmul peak — is the tracked progress number."""
+    (the reference publishes none); the measured same-host train-step
+    comparison lives in BASELINE.md (prof_cpu_baseline.py --train: 0.35x on
+    the CPU proxy, an XLA:CPU conv-gradient artifact — forward-only is
+    1.50x in our favor there). MFU — against both the nominal and the
+    measured matmul peak — is the tracked progress number on TPU."""
     import jax
     import jax.numpy as jnp
 

@@ -87,14 +87,103 @@ def bench_jax():
     return (time.perf_counter() - t0) / ITERS
 
 
-def main():
-    dt_t = bench_torch()
-    dt_j = bench_jax()
-    print(f"reference torch eager CPU: {dt_t*1e3:8.1f} ms / CFG step")
-    print(f"ealdm-tpu jax jit    CPU: {dt_j*1e3:8.1f} ms / CFG step")
+def bench_torch_train():
+    """Reference training-step core on this host: the flagship loss
+    composition (q_sample -> training-time CFG 2N-batched denoiser,
+    reference ddpm.py:1036-1048 with default logvar 0 / elbo_weight 0, so
+    loss == loss_simple) + backward + the reference's AdamW
+    (configure_optimizers, ddpm.py:1409-1418). EMA excluded on both sides."""
+    import numpy as np
+    import torch
+
+    from ldm.modules.diffusionmodules.openaimodel import UNetModel
+
+    torch.manual_seed(0)
+    m = UNetModel(**UNET_CFG).train()
+    opt = torch.optim.AdamW(m.parameters(), lr=1e-4)
+    rng = np.random.RandomState(0)
+    x = torch.from_numpy(rng.randn(B, 4, 32, 32).astype(np.float32))
+    noise = torch.from_numpy(rng.randn(B, 4, 32, 32).astype(np.float32))
+    c = torch.from_numpy(rng.randn(2 * B, 4, 512).astype(np.float32))
+    sqrt_a, sqrt_1ma, scale = 0.9, 0.436, 2.0
+    t = torch.zeros(B, dtype=torch.long)
+
+    def step():
+        opt.zero_grad(set_to_none=True)
+        x_noisy = sqrt_a * x + sqrt_1ma * noise
+        e = m(torch.cat([x_noisy] * 2), torch.cat([t] * 2), context=c)
+        e_u, e_c = e.chunk(2)
+        out = e_u + scale * (e_c - e_u)
+        loss = torch.nn.functional.mse_loss(out, noise)
+        loss.backward()
+        opt.step()
+        return float(loss)
+
+    step()  # warm
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        step()
+    return (time.perf_counter() - t0) / ITERS
+
+
+def bench_jax_train():
+    """Same training-step math through this framework's idiom: one jitted
+    value_and_grad + optax.adamw update (the trainer's pjit step minus the
+    mesh, which is identity at 1 device)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from ealdm_tpu.models import UNetModel
+
+    m = UNetModel(**UNET_CFG)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(B, 32, 32, 4), jnp.float32)
+    noise = jnp.asarray(rng.randn(B, 32, 32, 4), jnp.float32)
+    c = jnp.asarray(rng.randn(2 * B, 4, 512), jnp.float32)
+    sqrt_a, sqrt_1ma, scale = 0.9, 0.436, 2.0
+    t = jnp.zeros((2 * B,), jnp.int32)
+    params = jax.jit(lambda r: m.init(r, x, t[:B], c[:B]))(jax.random.PRNGKey(0))
+    opt = optax.adamw(1e-4)
+    opt_state = opt.init(params)
+
+    def loss_fn(p):
+        x_noisy = sqrt_a * x + sqrt_1ma * noise
+        e = m.apply(p, jnp.concatenate([x_noisy] * 2), t, c)
+        e_u, e_c = jnp.split(e, 2)
+        out = e_u + scale * (e_c - e_u)
+        return jnp.mean(jnp.square(out - noise))
+
+    @jax.jit
+    def step(p, s):
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, s = opt.update(grads, s, p)
+        return optax.apply_updates(p, updates), s, loss
+
+    params, opt_state, loss = step(params, opt_state)  # compile + warm
+    float(loss)
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        params, opt_state, loss = step(params, opt_state)
+    float(loss)
+    return (time.perf_counter() - t0) / ITERS
+
+
+def main(train: bool = False):
+    if train:
+        dt_t = bench_torch_train()
+        dt_j = bench_jax_train()
+        what = "train step (CFG loss + backward + AdamW)"
+    else:
+        dt_t = bench_torch()
+        dt_j = bench_jax()
+        what = "CFG step"
+    print(f"reference torch eager CPU: {dt_t*1e3:8.1f} ms / {what}")
+    print(f"ealdm-tpu jax jit    CPU: {dt_j*1e3:8.1f} ms / {what}")
     print(f"ratio torch/jax: {dt_t/dt_j:.2f}x (same host, batch {B}, "
           f"flagship 32^2-latent UNet)")
 
 
 if __name__ == "__main__":
-    main()
+    main(train="--train" in sys.argv)
