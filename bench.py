@@ -317,6 +317,11 @@ def main(batch_size: int = 24, steps: int = 50, tiny: bool = False,
     set_conv_impl(conv_impl)
 
     if train:
+        import ealdm_tpu
+
+        # same global toggles (flash attention, native norm stats) the
+        # sampling bench and the recorded round-3 --train numbers used
+        ealdm_tpu.enable_inference_optimizations()
         model, variables, batch, res, zres = build_model(
             tiny, batch_size, unet_format
         )

@@ -66,7 +66,7 @@ def make_eps_fn(model: LatentDiffusion, variables):
 
 
 def hoist_invariants(model: LatentDiffusion, variables, ddim, cond=None,
-                     uncond=None):
+                     uncond=None, want_emb_tables: bool = True):
     """Hoist the step-invariant work of a DDIM sampling chain out of the scan.
 
     Two invariants are precomputed ONCE instead of per step (the reference
@@ -100,7 +100,12 @@ def hoist_invariants(model: LatentDiffusion, variables, ddim, cond=None,
         return make_eps_fn(model, variables), cond, uncond, None
 
     params = variables["params"]["model"]["diffusion_model"]
-    emb_tables = precompute_emb_tables(unet, params, ddim.timesteps)
+    # want_emb_tables=False: the caller's sampler cannot consume per-step
+    # tables (PLMS evaluates off the ddim.timesteps grid) — skip the work
+    emb_tables = (
+        precompute_emb_tables(unet, params, ddim.timesteps)
+        if want_emb_tables else None
+    )
     kv = None
     if model.conditioning_key == "crossattn" and unet.use_spatial_transformer:
         if cond is not None:
@@ -172,7 +177,8 @@ def sample_images(
         # PLMS consumes the hoisted K/V but not the emb tables (its first
         # step evaluates at t_next, off the per-step table grid).
         eps_fn, cond, uncond, extra = hoist_invariants(
-            model, variables, ddim, cond, uncond
+            model, variables, ddim, cond, uncond,
+            want_emb_tables=sampler != "plms",
         )
     else:
         eps_fn, extra = make_eps_fn(model, variables), None

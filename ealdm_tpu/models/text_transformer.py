@@ -45,9 +45,19 @@ class SimpleTokenizer:
         self.max_len = max_len
         self._encode_fn: Optional[Callable] = None
         self._wordpiece = None
-        from ..data.tokenizer import WordPieceTokenizer, default_vocab_path
+        from ..data.tokenizer import (
+            VOCAB_ENV_VAR,
+            WordPieceTokenizer,
+            default_vocab_path,
+        )
 
         path = vocab_path or default_vocab_path()
+        if not os.path.exists(path) and os.environ.get(VOCAB_ENV_VAR):
+            # an explicitly configured vocab must not silently degrade to
+            # the hash-bucket fallback (ids would differ with no error)
+            raise FileNotFoundError(
+                f"{VOCAB_ENV_VAR} points at nonexistent vocab file {path!r}"
+            )
         if os.path.exists(path):
             wp = WordPieceTokenizer(path, max_len=max_len)
             if len(wp) <= vocab_size:

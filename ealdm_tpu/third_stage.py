@@ -323,29 +323,35 @@ class ThirdStageModel:
         tests/test_eval_trunks.py) and auto-load from $EALDM_WEIGHTS_DIR
         when a canonical checkpoint file is present; images arrive [-1,1]
         and are mapped to the trunk's [0,1] convention."""
-        if self._fid is None:
-            from .models.inception import InceptionV3Features
-
-            fid_net = InceptionV3Features()
-            variables = fid_net.init(
-                jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))
-            )
-            fn = jax.jit(
-                lambda v, im: fid_net.apply(v, (im + 1.0) * 0.5))
-            self._fid = (variables, fn)
-            from .weights import find_weights, load_state_dict_file
-
-            path = find_weights("inception")
-            if path is not None:
-                self.load_fid_weights(load_state_dict_file(path))
+        self._ensure_fid()
         return self._fid[1](self._fid[0], imgs)
+
+    def _ensure_fid(self):
+        """Build the FID trunk (and auto-install $EALDM_WEIGHTS_DIR weights)
+        without running a forward pass."""
+        if self._fid is not None:
+            return
+        from .models.inception import InceptionV3Features
+
+        fid_net = InceptionV3Features()
+        variables = fid_net.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))
+        )
+        fn = jax.jit(
+            lambda v, im: fid_net.apply(v, (im + 1.0) * 0.5))
+        self._fid = (variables, fn)
+        from .weights import find_weights, load_state_dict_file
+
+        path = find_weights("inception")
+        if path is not None:
+            self.load_fid_weights(load_state_dict_file(path))
 
     def load_fid_weights(self, state_dict):
         """Install a torchvision-named InceptionV3 state_dict (e.g. the
         pt_inception-2015-12-05 FID weights) into the FID feature net."""
         from .models.inception import load_torch_inception_state
 
-        self._fid_feats(jnp.zeros((1, 8, 8, 3)))  # build lazily if needed
+        self._ensure_fid()
         self._fid = (load_torch_inception_state(state_dict), self._fid[1])
 
     # ------------------------------------------------------------------ api

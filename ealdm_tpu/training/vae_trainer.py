@@ -78,6 +78,17 @@ def init_vae_train_state(
     opt_disc = optax.adam(learning_rate, b1=0.5, b2=0.9)
     ae_params = ae_vars["params"]
     loss_params = loss_vars["params"]
+    if "perceptual" in loss_params:
+        # auto-install pretrained VGG-LPIPS weights from $EALDM_WEIGHTS_DIR,
+        # the file counterpart of the reference's runtime download
+        # (contperceptual.py:4) — same mechanism as the FID/CLIP trunks
+        from ..weights import find_weights, load_lpips_params
+
+        if find_weights("lpips") is not None:
+            loss_params = dict(loss_params)
+            loss_params["perceptual"] = load_lpips_params(
+                loss_params["perceptual"]
+            )
     state = VAETrainState(
         step=jnp.zeros((), jnp.int32),
         ae_params=ae_params,

@@ -43,9 +43,24 @@ CANONICAL_FILES: Dict[str, tuple] = {
 
 
 def weights_dir() -> Optional[str]:
-    """The configured weights directory, or None when unset/missing."""
+    """The configured weights directory, or None when unset.
+
+    A *set but nonexistent* directory is almost certainly a typo'd
+    deployment — warn loudly instead of silently degrading every eval
+    trunk to random init."""
     d = os.environ.get(ENV_VAR)
-    return d if d and os.path.isdir(d) else None
+    if not d:
+        return None
+    if not os.path.isdir(d):
+        import warnings
+
+        warnings.warn(
+            f"{ENV_VAR}={d!r} is not a directory; eval-trunk weights will "
+            f"NOT be loaded (FID/CLIP/LPIPS run random-init)",
+            stacklevel=2,
+        )
+        return None
+    return d
 
 
 def find_weights(kind: str, directory: Optional[str] = None) -> Optional[str]:

@@ -21,16 +21,10 @@ from __future__ import annotations
 import argparse
 import os
 import sys
-from itertools import islice
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
-
-
-def chunk(it, size):
-    it = iter(it)
-    return iter(lambda: tuple(islice(it, size)), ())
 
 
 def get_parser():
@@ -108,11 +102,29 @@ def load_model(opt):
         model, jax.random.PRNGKey(0), batch, use_ema=True
     )
     if ckpt_dir:
-        if os.path.isfile(ckpt_dir):
-            ckpt_dir = os.path.dirname(ckpt_dir)
-        state = CheckpointManager(ckpt_dir, monitor=None).restore_last(
-            jax.device_get(state)
-        )
+        template = jax.device_get(state)
+        norm = os.path.normpath(ckpt_dir)
+        base = os.path.basename(norm)
+        if base == "state":
+            # direct orbax state path (e.g. .../last/state)
+            import orbax.checkpoint as ocp
+
+            state = ocp.StandardCheckpointer().restore(norm, template)
+        elif base == "last":
+            import orbax.checkpoint as ocp
+
+            state = ocp.StandardCheckpointer().restore(
+                os.path.join(norm, "state"), template
+            )
+        elif base.isdigit():
+            # a specific managed step dir (.../checkpoints/<step>) must load
+            # THAT step, not whatever restore_last would pick
+            state = CheckpointManager(
+                os.path.dirname(norm), monitor=None
+            ).restore(template, step=int(base))
+        else:
+            # checkpoints dir: latest managed step, else last/
+            state = CheckpointManager(norm, monitor=None).restore(template)
         params = state.ema.shadow if state.ema is not None else state.params
     else:
         print("WARNING: sampling from RANDOM-INIT weights (no --ckpt/-r)")
@@ -134,16 +146,18 @@ def embed_queries(opt, n):
         from PIL import Image
 
         im = Image.open(opt.query_image).convert("RGB")
-        x = np.asarray(im).astype(np.float32) / 127.5 - 1.0
-        x = jnp.asarray(np.repeat(x[None], n, axis=0))
+        x = jnp.asarray(np.asarray(im), jnp.float32)[None] / 127.5 - 1.0
         emb = FrozenClipImageEmbedder.from_version(opt.clip_type)
-        variables = jax.jit(emb.init)(jax.random.PRNGKey(0), x[:1])
-        q = np.asarray(jax.jit(emb.apply)(variables, x))
+        variables = jax.jit(emb.init)(jax.random.PRNGKey(0), x)
+        # one ViT pass; the n_samples copies share the query embedding
+        q = np.repeat(np.asarray(jax.jit(emb.apply)(variables, x)), n, axis=0)
         return q, [f"<image:{os.path.basename(opt.query_image)}>"] * n
 
     if opt.from_file:
         with open(opt.from_file) as f:
-            texts = f.read().splitlines()
+            texts = [ln for ln in f.read().splitlines() if ln.strip()]
+        if not texts:
+            raise SystemExit(f"--from_file {opt.from_file}: no prompts found")
         texts = (texts * ((n + len(texts) - 1) // len(texts)))[:n]
     else:
         texts = [opt.prompt] * n
@@ -212,7 +226,7 @@ def main():
     cond = jnp.asarray(c)
     uncond = None if uc is None else jnp.asarray(uc)
     eps_fn, cond, uncond, extra = hoist_invariants(
-        model, variables, ddim, cond, uncond
+        model, variables, ddim, cond, uncond, want_emb_tables=not opt.plms
     )
 
     def run(rng):

@@ -191,6 +191,23 @@ def test_emb_tables_match_per_step(stdiff_model):  # noqa: F811
                                rtol=1e-5, atol=1e-6)
 
 
+def test_want_emb_tables_false_skips_tables(stdiff_model):  # noqa: F811
+    """want_emb_tables=False (the PLMS caller) skips the per-step table
+    precompute but still returns the hoisted K/V conditioning."""
+    model, variables, _, ddim, cond, uncond = _setup(stdiff_model)
+    eps_fn, cond_h, uncond_h, extra = hoist_invariants(
+        model, variables, ddim, cond, uncond, want_emb_tables=False
+    )
+    assert extra is None
+    # cond/uncond came back as K/V pytrees, not raw context arrays
+    assert isinstance(cond_h, dict) and isinstance(uncond_h, dict)
+    # the K/V-only eps_fn still evaluates (emb rows computed in-module)
+    x = jnp.zeros((2, 16, 16, 4))
+    t = jnp.full((2,), int(ddim.timesteps[0]), jnp.int32)
+    y = eps_fn(x, t, jax.tree_util.tree_map(lambda a: a[:2], cond_h))
+    assert np.isfinite(np.asarray(y)).all()
+
+
 def test_hoist_fallback_non_crossattn():
     """concat-key models fall back to the plain eps_fn (no hoist)."""
     from ealdm_tpu.models.ddpm import LatentDiffusion

@@ -100,3 +100,15 @@ def test_simple_tokenizer_env_pickup(tmp_path, monkeypatch):
     ids = np.asarray(st(["a photo of the stone bridge"]))
     assert ids.shape == (1, 12)
     assert toks.index("photo") in ids[0]
+
+
+def test_simple_tokenizer_env_missing_file_raises(tmp_path, monkeypatch):
+    """An explicitly configured vocab that does not exist must fail loudly,
+    not silently degrade to the hash-bucket fallback (ids would differ)."""
+    import pytest
+
+    from ealdm_tpu.models.text_transformer import SimpleTokenizer
+
+    monkeypatch.setenv("EALDM_VOCAB_PATH", str(tmp_path / "nope.txt"))
+    with pytest.raises(FileNotFoundError, match="EALDM_VOCAB_PATH"):
+        SimpleTokenizer(BERT_VOCAB_SIZE, max_len=12)

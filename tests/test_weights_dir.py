@@ -205,6 +205,83 @@ def test_lpips_loads_from_weights_dir(tmp_path, monkeypatch):
     assert load_lpips_params(p2) is p2
 
 
+def test_weights_dir_warns_on_nonexistent(tmp_path, monkeypatch):
+    """A SET but nonexistent EALDM_WEIGHTS_DIR is a typo'd deployment —
+    warn loudly instead of silently running every trunk random-init."""
+    from ealdm_tpu.weights import weights_dir
+
+    monkeypatch.setenv("EALDM_WEIGHTS_DIR", str(tmp_path / "missing"))
+    with pytest.warns(UserWarning, match="NOT be loaded"):
+        assert weights_dir() is None
+    monkeypatch.delenv("EALDM_WEIGHTS_DIR")
+    assert weights_dir() is None  # unset: silent
+
+
+def test_load_fid_weights_before_forward(monkeypatch):
+    """load_fid_weights on a fresh model must not run a forward pass to
+    build the trunk (the old lazy-build path compiled a throwaway 8x8
+    program); installed weights drive the first real forward."""
+    from test_third_stage import _FakeDiffusion
+
+    from ealdm_tpu.third_stage import ThirdStageModel
+
+    monkeypatch.delenv("EALDM_WEIGHTS_DIR", raising=False)
+    twin = randomize_(TInceptionV3())
+    model = ThirdStageModel(_FakeDiffusion(), {"params": {}},
+                            clip_image_size=32)
+    model.load_fid_weights(twin.state_dict())  # no forward yet
+    img = np.random.RandomState(1).rand(1, 299, 299, 3).astype(np.float32)
+    got = np.asarray(model._fid_feats(jnp.asarray(img) * 2.0 - 1.0))
+    with torch.no_grad():
+        ref = twin(torch.from_numpy(img).permute(0, 3, 1, 2)).numpy()
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_vae_trainer_autoinstalls_lpips(tmp_path, monkeypatch):
+    """init_vae_train_state picks up vgg_lpips.pth from $EALDM_WEIGHTS_DIR —
+    the trainer-side counterpart of the reference's runtime LPIPS download
+    (contperceptual.py:4)."""
+    from ealdm_tpu.losses import LPIPSWithDiscriminator
+    from ealdm_tpu.models.vae import AutoencoderKL
+    from ealdm_tpu.training import init_vae_train_state
+
+    twin = randomize_(TLPIPS())
+    d = tmp_path / "weights"
+    d.mkdir()
+    torch.save(twin.state_dict(), str(d / "vgg_lpips.pth"))
+
+    tiny_dd = dict(
+        double_z=True, z_channels=2, resolution=32, in_channels=3, out_ch=3,
+        ch=8, ch_mult=[1, 2], num_res_blocks=1, attn_resolutions=[],
+        dropout=0.0,
+    )
+    vae = AutoencoderKL(ddconfig=tiny_dd, embed_dim=2)
+    loss_mod = LPIPSWithDiscriminator(
+        disc_start=0, kl_weight=1e-6, disc_weight=0.5, disc_num_layers=1,
+        perceptual_weight=1.0,
+    )
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+
+    monkeypatch.delenv("EALDM_WEIGHTS_DIR", raising=False)
+    state_rand, _, _ = init_vae_train_state(
+        vae, loss_mod, jax.random.PRNGKey(0), x, learning_rate=1e-3)
+    monkeypatch.setenv("EALDM_WEIGHTS_DIR", str(d))
+    state_file, _, _ = init_vae_train_state(
+        vae, loss_mod, jax.random.PRNGKey(0), x, learning_rate=1e-3)
+
+    p_rand = state_rand.loss_params["perceptual"]
+    p_file = state_file.loss_params["perceptual"]
+    assert not np.allclose(
+        np.asarray(jax.tree_util.tree_leaves(p_rand)[0]),
+        np.asarray(jax.tree_util.tree_leaves(p_file)[0]),
+    )
+    # one installed tensor verbatim from the file
+    got = np.asarray(p_file["vgg"]["conv0_0"]["kernel"])
+    ref = twin.state_dict()["net.slice1.0.weight"].numpy()
+    np.testing.assert_allclose(
+        got, np.transpose(ref, (2, 3, 1, 0)), atol=1e-6)
+
+
 # ------------------------------------------------- real weights (optional)
 @pytest.mark.skipif(
     not os.environ.get("EALDM_WEIGHTS_DIR")
