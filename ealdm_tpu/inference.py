@@ -78,8 +78,8 @@ def hoist_invariants(model: LatentDiffusion, variables, ddim, cond=None,
         S known timesteps, as [S, ...] tables scanned alongside alpha/sigma
         (ref `openaimodel.py:184-205,468-473`).
     On a latency-bound chip (v5e: fixed ~340us issue cost per serial op,
-    docs/PERF.md) this deletes ~50 small ops per step at bit-identical
-    numerics.
+    docs/PERF.md) this deletes ~50 small ops per step at numerically
+    equivalent results (tested to 1e-5, tests/test_hoisted_sampling.py).
 
     Returns (eps_fn, cond', uncond', extra_tables) ready for
     `ddim_sample(eps_fn, ..., cond=cond', uncond=uncond',
@@ -155,7 +155,7 @@ def sample_images(
     """Full pipeline; returns decoded images (or latents if decode=False).
 
     hoist: precompute the step-invariant cross-attn K/V + timestep-embedding
-    tables outside the sampler scan (bit-identical; see hoist_invariants)."""
+    tables outside the sampler scan (numerically equivalent, tested to 1e-5; see hoist_invariants)."""
     sched = DiffusionSchedule.create(
         timesteps=model.timesteps,
         beta_schedule=model.beta_schedule,
@@ -184,9 +184,9 @@ def sample_images(
         eps_fn, extra = make_eps_fn(model, variables), None
     shape = (batch_size,) + tuple(latent_shape)
     sampler_fn = plms_sample if sampler == "plms" else ddim_sample
-    kwargs = {}
+    kwargs = dict(mask=mask, x0=x0, schedule=sched)
     if sampler != "plms":
-        kwargs = dict(mask=mask, x0=x0, schedule=sched, extra_tables=extra)
+        kwargs["extra_tables"] = extra
     z = sampler_fn(
         eps_fn, rng, shape, ddim, cfg, cond=cond, uncond=uncond, x_T=x_T, **kwargs
     )

@@ -112,6 +112,12 @@ class DiffusionWrapper(nn.Module):
             xc = jnp.concatenate([x] + list(c_concat), axis=-1)
             return self.diffusion_model(xc, t, deterministic=deterministic, **hoist)
         if key == "crossattn":
+            # c_crossattn=None is only valid on the hoisted fast path where
+            # context_kv carries the projected conditioning; with BOTH absent
+            # attn2 would silently run as self-attention (context=x).
+            assert c_crossattn is not None or context_kv is not None, (
+                "crossattn conditioning requires c_crossattn or context_kv"
+            )
             cc = None if c_crossattn is None else jnp.concatenate(
                 list(c_crossattn), axis=1
             )

@@ -63,6 +63,14 @@ class SimpleTokenizer:
             if len(wp) <= vocab_size:
                 self._wordpiece = wp
                 self.PAD = wp.pad_id
+            elif vocab_path is not None or os.environ.get(VOCAB_ENV_VAR):
+                # an explicitly configured vocab must not silently degrade to
+                # the hash-bucket fallback (ids would differ with no error)
+                raise ValueError(
+                    f"vocab file {path!r} has {len(wp)} entries, exceeding the "
+                    f"model's vocab_size={vocab_size}; refusing to silently "
+                    "fall back to hash-bucket token ids"
+                )
 
     def set_encode_fn(self, fn: Callable[[str], Sequence[int]]):
         self._encode_fn = fn

@@ -88,7 +88,7 @@ class UNetModel(nn.Module):
         """x: [N, H, W, C_in]; timesteps: [N]; context: [N, L, context_dim].
 
         Hoisted-invariant arguments (diffusion-sampler fast path; both are
-        bit-identical to the default path and ignored at init):
+        numerically equivalent to the default path (tested to 1e-5) and ignored at init):
           context_kv: {attn_site: ((k, v), ...) per depth} precomputed
             cross-attn K/V projections of a step-constant context
             (`precompute_context_kv`); `context` is then unused.

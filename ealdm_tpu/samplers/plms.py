@@ -16,7 +16,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from ..ops.schedules import DDIMSchedule
+from ..ops.schedules import DDIMSchedule, DiffusionSchedule, extract
 from .ddim import DDIMConfig, EpsFn, _guided_eps, ddim_step
 
 
@@ -29,8 +29,16 @@ def plms_sample(
     cond=None,
     uncond=None,
     x_T: Optional[jnp.ndarray] = None,
+    mask: Optional[jnp.ndarray] = None,
+    x0: Optional[jnp.ndarray] = None,
+    schedule: Optional[DiffusionSchedule] = None,
     score_corrector=None,
 ):
+    """mask/x0: inpainting — at each step the known region is re-noised from
+    x0 via q_sample and composited before the model call (mask==1 keeps the
+    known region), exactly as the DDIM mask path; parity target
+    `/root/reference/ldm/models/diffusion/plms.py:147-150`. Requires
+    ``schedule`` (the full-T DiffusionSchedule) when mask is given."""
     assert cfg.eta == 0.0, "PLMS requires eta == 0"
     b = shape[0]
     rng, init_rng = jax.random.split(rng)
@@ -47,6 +55,7 @@ def plms_sample(
         ddim.alphas_prev[::-1],
         ddim.sigmas[::-1],
         jnp.arange(steps),
+        jax.random.split(rng, steps),
     )
 
     scale = cfg.unconditional_guidance_scale
@@ -59,10 +68,19 @@ def plms_sample(
 
     def body(carry, per_step):
         x, old_eps = carry  # old_eps: [4, ...] ring buffer, newest at index 3
-        ts, ts_nxt, a_t, a_prev, sigma_t, i = per_step
+        ts, ts_nxt, a_t, a_prev, sigma_t, i, step_rng = per_step
         t_vec = jnp.full((b,), ts, jnp.int32)
         tn_vec = jnp.full((b,), ts_nxt, jnp.int32)
         zeros = jnp.zeros_like(x)
+
+        if mask is not None:
+            assert x0 is not None and schedule is not None
+            img_orig = (
+                extract(schedule.sqrt_alphas_cumprod, t_vec, x.ndim) * x0
+                + extract(schedule.sqrt_one_minus_alphas_cumprod, t_vec, x.ndim)
+                * jax.random.normal(step_rng, x.shape)
+            )
+            x = img_orig * mask + (1.0 - mask) * x
 
         e_t = model_eps(x, t_vec)
 

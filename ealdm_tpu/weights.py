@@ -90,13 +90,24 @@ def load_state_dict_file(path: str) -> Dict:
 
     import torch
 
+    # Only safe decoders: weights_only=True pickles and TorchScript archives
+    # (the format OpenAI's clip.load downloads).  We deliberately never fall
+    # back to torch.load(weights_only=False) — that executes arbitrary pickle
+    # code from whatever file sits in $EALDM_WEIGHTS_DIR.  A checkpoint that
+    # genuinely needs full unpickling must be re-saved as a plain state_dict.
     try:
         obj = torch.load(path, map_location="cpu", weights_only=True)
-    except Exception:
+    except Exception as pickle_err:
         try:
-            obj = torch.load(path, map_location="cpu", weights_only=False)
-        except Exception:
             obj = torch.jit.load(path, map_location="cpu")
+        except Exception as jit_err:
+            raise ValueError(
+                f"{path}: not decodable as a weights-only pickle "
+                f"({pickle_err}) nor as a TorchScript archive ({jit_err}). "
+                "If this is a full-object torch checkpoint, re-save it as a "
+                "plain state_dict; weights_only=False loading is not "
+                "supported (arbitrary code execution risk)."
+            ) from jit_err
     if hasattr(obj, "state_dict") and not isinstance(obj, dict):
         obj = obj.state_dict()
     if isinstance(obj, dict) and "state_dict" in obj and not any(

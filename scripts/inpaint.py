@@ -42,6 +42,9 @@ def main():
                         "(default: the committed data/inpainting_examples)")
     p.add_argument("--outdir", type=str, required=True)
     p.add_argument("--steps", type=int, default=50)
+    p.add_argument("--plms", action="store_true",
+                   help="use the PLMS sampler (mask/x0 re-noising supported, "
+                        "reference plms.py:147-150) instead of DDIM")
     p.add_argument("-r", "--resume", type=str, default="",
                    help="trained run dir (optional)")
     p.add_argument("--tiny", action="store_true",
@@ -131,7 +134,7 @@ def main():
         keep = 1.0 - jax.image.resize(mask_px, (1, zh, zw, 1), "nearest")
         img, _ = sample_images(
             model, variables, r2, 1, z.shape[1:], steps=opt.steps, eta=0.0,
-            mask=keep, x0=z,
+            mask=keep, x0=z, sampler="plms" if opt.plms else "ddim",
         )
         # composite: predicted content only inside the hole
         result = np.asarray(x * (1 - mask_px) + img * mask_px)[0]

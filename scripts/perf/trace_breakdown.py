@@ -122,6 +122,22 @@ def report(rows, steps: int):
               f"({100 * attn_ms / total:.1f}% of busy)")
 
 
+def top_ops(rows, category: str, n: int = 25):
+    """Drill-down: the top individual HLOs of one category, with their op
+    expressions (the evidence trail for naming each producer)."""
+    sel = [r for r in rows if r["category"] == category]
+    sel.sort(key=lambda r: -float(r["total_self_time"]))
+    total = sum(float(r["total_self_time"]) for r in sel) / 1e3
+    print(f"\ntop {min(n, len(sel))} of {len(sel)} '{category}' ops "
+          f"({total:.1f} ms total):")
+    for r in sel[:n]:
+        ms = float(r["total_self_time"]) / 1e3
+        occ = r.get("occurrences")
+        expr = (r["hlo_op_expression"] or "")[:200]
+        print(f"  {ms:7.2f} ms x{occ or '?':>4s} {r['hlo_op_name']}")
+        print(f"           {expr}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=24)
@@ -131,11 +147,18 @@ def main():
     ap.add_argument("--logdir", default="/tmp/ealdm_trace")
     ap.add_argument("--no-capture", action="store_true",
                     help="only analyze an existing trace in --logdir")
+    ap.add_argument("--top-ops", default=None, metavar="CATEGORY",
+                    help="also print the top individual HLOs of this "
+                         "category (e.g. 'data formatting')")
+    ap.add_argument("--top-n", type=int, default=25)
     a = ap.parse_args()
 
     if not a.no_capture:
         capture(a.logdir, a.batch, a.steps, a.streams, not a.no_hoist)
-    report(hlo_stats_rows(a.logdir), a.steps)
+    rows = hlo_stats_rows(a.logdir)
+    report(rows, a.steps)
+    if a.top_ops:
+        top_ops(rows, a.top_ops, a.top_n)
 
 
 if __name__ == "__main__":

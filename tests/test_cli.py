@@ -69,6 +69,18 @@ def test_inpaint_tiny(tmp_path):
     np.testing.assert_allclose(out[:4, :4], img[:4, :4], atol=2)
 
 
+def test_inpaint_plms(tmp_path):
+    """--plms routes the mask/x0 re-noising through the PLMS sampler
+    (reference plms.py:147-150); was silently dropped before round 5."""
+    outdir = tmp_path / "out"
+    r = run_cli([
+        "scripts/inpaint.py", "--outdir", str(outdir), "--steps", "3",
+        "--tiny", "--plms",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "example0.png" in os.listdir(outdir)
+
+
 def test_inpaint_committed_examples(tmp_path):
     """No --indir: runs on the committed data/inpainting_examples fixtures
     out of the box (reference ships data/inpainting_examples/, consumed by

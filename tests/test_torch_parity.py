@@ -433,6 +433,104 @@ def test_plms_trajectory_parity_vs_reference_sampler(rng):
     np.testing.assert_allclose(np.asarray(ours), ref, rtol=5e-4, atol=5e-4)
 
 
+def test_plms_masked_inpainting_parity_vs_reference_sampler(rng):
+    """Masked PLMS inpainting (reference plms.py:147-150: per-step q_sample
+    re-noising of the known region, mask==1 keeps it) on an identically-
+    weighted tiny UNet. The q_sample noise is stochastic in both stacks, so
+    the reference stub is fed the exact per-step noise sequence our scan
+    draws (split(rng, steps) rows in scan order) — the trajectories must
+    then coincide."""
+    from ldm.models.diffusion.plms import PLMSSampler
+    from ldm.modules.diffusionmodules.openaimodel import UNetModel as TorchUNet
+
+    from ealdm_tpu.models import UNetModel
+    from ealdm_tpu.ops.schedules import DDIMSchedule, DiffusionSchedule
+    from ealdm_tpu.samplers import DDIMConfig
+    from ealdm_tpu.samplers.plms import plms_sample
+
+    cfg = dict(
+        image_size=8, in_channels=4, out_channels=4, model_channels=32,
+        attention_resolutions=[2], num_res_blocks=1, channel_mult=[1, 2],
+        num_head_channels=16, use_spatial_transformer=True,
+        transformer_depth=1, context_dim=32,
+    )
+    torch.manual_seed(0)
+    tm = TorchUNet(**cfg).eval()
+    fm = UNetModel(**cfg)
+
+    b, steps, T = 2, 5, 20
+    x_T = rng.randn(b, 8, 8, 4).astype(np.float32)
+    ctx = rng.randn(b, 4, 32).astype(np.float32)
+    x0 = rng.randn(b, 8, 8, 4).astype(np.float32)
+    mask = np.zeros((1, 8, 8, 1), np.float32)
+    mask[:, :4] = 1.0  # top half known
+
+    params = fm.init(
+        jax.random.PRNGKey(0), jnp.asarray(x_T), jnp.zeros((b,), jnp.int32),
+        jnp.asarray(ctx)
+    )["params"]
+    params, missing, _ = import_state_dict(_sd_numpy(tm), unet_key_map(cfg), params)
+    assert all(m.endswith(".skip_connection") for m in missing), missing[:8]
+
+    sched = DiffusionSchedule.create(
+        timesteps=T, linear_start=0.0015, linear_end=0.0195
+    )
+
+    # replicate plms_sample's per-step q_sample noise stream
+    key = jax.random.PRNGKey(1)
+    rng2, _init = jax.random.split(key)
+    step_keys = jax.random.split(rng2, steps)
+    noises = [np.asarray(jax.random.normal(k, (b, 8, 8, 4)), np.float32)
+              for k in step_keys]
+
+    class _MaskStub(_StubLDM):
+        def __init__(self, unet, schedule, noise_stream):
+            super().__init__(unet, schedule)
+            self._noises = list(noise_stream)
+            self._sqrt_acp = torch.from_numpy(
+                np.asarray(schedule.sqrt_alphas_cumprod, np.float32))
+            self._sqrt_1macp = torch.from_numpy(
+                np.asarray(schedule.sqrt_one_minus_alphas_cumprod, np.float32))
+
+        def q_sample(self, x_start, t, noise=None):
+            noise = _nchw(self._noises.pop(0))
+            a = self._sqrt_acp[t].view(-1, 1, 1, 1)
+            s = self._sqrt_1macp[t].view(-1, 1, 1, 1)
+            return a * x_start + s * noise
+
+    class _Patched(PLMSSampler):
+        def register_buffer(self, name, attr):
+            if isinstance(attr, torch.Tensor):
+                attr = attr.to(torch.device("cpu"))
+            setattr(self, name, attr)
+
+    stub = _MaskStub(tm, sched, noises)
+    sampler = _Patched(stub)
+    mask_nchw = torch.from_numpy(np.transpose(mask, (0, 3, 1, 2)).copy())
+    with torch.no_grad():
+        ref_out, _ = sampler.sample(
+            S=steps, batch_size=b, shape=(4, 8, 8),
+            conditioning=torch.from_numpy(ctx.copy()),
+            eta=0.0, verbose=False, x_T=_nchw(x_T),
+            mask=mask_nchw, x0=_nchw(x0),
+        )
+    ref = _to_nhwc(ref_out)
+    assert not stub._noises, "reference consumed fewer q_sample draws than ours"
+
+    ddim = DDIMSchedule.create(sched, steps, eta=0.0)
+
+    def eps_fn(x, t, c):
+        return fm.apply({"params": params}, x, t, c)
+
+    ours = plms_sample(
+        eps_fn, key, (b, 8, 8, 4), ddim,
+        DDIMConfig(num_steps=steps, eta=0.0), cond=jnp.asarray(ctx),
+        x_T=jnp.asarray(x_T), mask=jnp.asarray(mask), x0=jnp.asarray(x0),
+        schedule=sched,
+    )
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=5e-4, atol=5e-4)
+
+
 def test_vae_linear_attention_parity(rng):
     """LinAttnBlock (model.py:144-147 / attention.py:80-96) weight-mapped
     output parity: fused qkv split order, spatial softmax, einsum pair."""
