@@ -304,7 +304,7 @@ def main(batch_size: int = 24, steps: int = 50, tiny: bool = False,
          unet_format: str = "HWNC", norm_impl: str = "xla",
          streams: int = 6, train: bool = False, remat: str = "dots",
          conv_impl: str = "xla", unroll: int = 1, xla_opts=None,
-         hoist: bool = True):
+         hoist: bool = True, attn_impl: str = None):
     import jax
     import jax.numpy as jnp
     from ealdm_tpu.utils.cache import enable_compile_cache
@@ -315,6 +315,18 @@ def main(batch_size: int = 24, steps: int = 50, tiny: bool = False,
     set_norm_impl(norm_impl)
     from ealdm_tpu.ops.winograd import set_conv_impl
     set_conv_impl(conv_impl)
+    if attn_impl is not None:
+        # applied AFTER enable_inference_optimizations (which sets "flash"):
+        # jam the round-5 packed-layout experiment or force dense
+        import ealdm_tpu as _e
+        _orig = _e.enable_inference_optimizations
+
+        def _patched():
+            _orig()
+            from ealdm_tpu.ops.attention import set_attention_impl
+            set_attention_impl(attn_impl)
+
+        _e.enable_inference_optimizations = _patched
 
     if train:
         import ealdm_tpu
@@ -453,6 +465,11 @@ if __name__ == "__main__":
                    choices=["xla", "winograd2", "winograd4", "int8"],
                    help="3x3-conv lowering (winograd: recorded experiment, "
                         "see docs/PERF.md)")
+    p.add_argument("--attn", default=None,
+                   choices=["dense", "flash", "flash_packed"],
+                   help="override the attention impl chosen by "
+                        "enable_inference_optimizations (flash_packed = "
+                        "round-5 no-transpose packed-layout kernel)")
     p.add_argument("--xla-opt", action="append", default=[],
                    help="TPU compiler option key=value for the sampling "
                         "program, sent via PJRT compiler_options (the only "
@@ -461,4 +478,4 @@ if __name__ == "__main__":
     a = p.parse_args()
     main(a.batch_size, a.steps, a.tiny, a.unet_format, a.norm_impl, a.streams,
          a.train, a.remat, a.conv_impl, a.unroll, a.xla_opt,
-         hoist=not a.no_hoist)
+         hoist=not a.no_hoist, attn_impl=a.attn)

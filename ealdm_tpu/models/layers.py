@@ -23,7 +23,12 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.attention import attention_impl, flash_attention, sdpa
+from ..ops.attention import (
+    attention_impl,
+    flash_attention,
+    flash_attention_packed,
+    sdpa,
+)
 from ..ops.norms import group_norm, silu
 
 Dtype = jnp.dtype
@@ -252,7 +257,7 @@ def _attend(q, k, v):
     on TPU, for block-aligned self-attention-sized sequences."""
     n = q.shape[2]
     if (
-        attention_impl() == "flash"
+        attention_impl() in ("flash", "flash_packed")
         and n >= FLASH_MIN_TOKENS
         and n == k.shape[2]
         and jax.default_backend() == "tpu"
@@ -260,6 +265,19 @@ def _attend(q, k, v):
     ):
         return flash_attention(q, k, v)
     return sdpa(q, k, v)
+
+
+def _flash_packed_eligible(n, m):
+    """Packed-layout flash (head split/merge via kernel indexing, no HBM
+    re-layout — round-5 formatting experiment) applies at the same sites
+    the split-layout flash does."""
+    return (
+        attention_impl() == "flash_packed"
+        and n >= FLASH_MIN_TOKENS
+        and n == m
+        and jax.default_backend() == "tpu"
+        and n % 256 == 0
+    )
 
 
 class CrossAttention(nn.Module):
@@ -292,11 +310,18 @@ class CrossAttention(nn.Module):
             k = nn.Dense(inner, use_bias=False, name="to_k", dtype=self.dtype)(context)
             v = nn.Dense(inner, use_bias=False, name="to_v", dtype=self.dtype)(context)
 
-        def split(t, length):
-            return t.reshape(b, length, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+        if _flash_packed_eligible(n, m):
+            # q/k/v stay in the Dense-native [B, N, H*D]; the kernel slices
+            # heads in VMEM — no split/merge HBM transposes (round 5).
+            out = flash_attention_packed(q, k, v, self.heads)
+        else:
+            def split(t, length):
+                return t.reshape(
+                    b, length, self.heads, self.dim_head
+                ).transpose(0, 2, 1, 3)
 
-        out = _attend(split(q, n), split(k, m), split(v, m))
-        out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
+            out = _attend(split(q, n), split(k, m), split(v, m))
+            out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
         out = nn.Dense(c, name="to_out", dtype=self.dtype)(out)
         return nn.Dropout(self.dropout, deterministic=deterministic)(out)
 

@@ -19,10 +19,15 @@ import math
 import jax
 import jax.numpy as jnp
 
-__all__ = ["sdpa", "flash_attention", "set_attention_impl", "attention_impl"]
+__all__ = ["sdpa", "flash_attention", "flash_attention_packed",
+           "set_attention_impl", "attention_impl"]
 
-# Global attention implementation: "dense" (default) or "flash" (fused
-# Pallas kernel with a rematerialized dense backward — grad-safe). Measured
+# Global attention implementation: "dense" (default), "flash" (fused
+# Pallas kernel with a rematerialized dense backward — grad-safe), or
+# "flash_packed" (flash whose q/k/v stay in the projection's native
+# [B, N, H*D] layout with head split/merge done by kernel indexing —
+# kills the [b,s,h,d]<->[b,h,s,d] HBM transposes the device trace named
+# as the largest data-formatting cost, docs/PERF.md round 5). Measured
 # on v5e: flash at >=256 tokens cuts the 256ch UNet step ~30% (the
 # HBM-materialized score tensors dominate the attention cost). Dense stays
 # the default for exact fp32 training parity (flash fwd is MXU-precision).
@@ -31,7 +36,7 @@ _ATTN_IMPL = "dense"
 
 def set_attention_impl(mode: str):
     global _ATTN_IMPL
-    assert mode in ("dense", "flash")
+    assert mode in ("dense", "flash", "flash_packed")
     _ATTN_IMPL = mode
 
 
@@ -248,3 +253,134 @@ def _flash_forward(q, k, v, scale=None, block_q=None, block_k=None, head_block=N
         ]
         out = jnp.concatenate(outs, axis=0)
     return out.reshape(b, h, nq, d)
+
+
+# ---------------------------------------------------------------------------
+# Packed-layout flash attention: q/k/v in the projection-native [B, N, H*D].
+# ---------------------------------------------------------------------------
+#
+# Motivation (round-5 device trace, docs/PERF.md): the standard flash path
+# receives q/k/v as [B, H, N, D], which the UNet produces from Dense outputs
+# via reshape+transpose — XLA materializes that as HBM layout copies
+# ([b,s,h,d]->{3,1,2,0} physical, 43.5 ms/run = ~1 ms/step at b24s6), plus a
+# matching merge transpose on the output. Here the kernel reads the Dense
+# output layout DIRECTLY: block over (batch, q-rows), keep all heads' columns
+# in the tile (contiguous lanes), and slice each head's 32-lane strip inside
+# VMEM. Split/merge become kernel indexing; no HBM re-layout exists.
+
+
+def _flash_packed_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, heads,
+                         block_k, seq_k):
+    """Online-softmax attention on packed tiles.
+
+    q_ref: [1, block_q, H*D]; k_ref/v_ref: [1, seq_k, H*D] (full keys in
+    VMEM — UNet sequences are short); o_ref: [1, block_q, H*D]. Per head,
+    a d-strip of 32 lanes is statically sliced and attended independently.
+    """
+    d = q_ref.shape[-1] // heads
+    num_kb = seq_k // block_k
+
+    for hh in range(heads):
+        q = q_ref[0, :, hh * d:(hh + 1) * d].astype(jnp.float32) * scale
+        block_q = q.shape[0]
+
+        def body(i, carry):
+            m_prev, l_prev, acc = carry
+            k = k_ref[0, pl.ds(i * block_k, block_k),
+                      hh * d:(hh + 1) * d].astype(jnp.float32)
+            v = v_ref[0, pl.ds(i * block_k, block_k),
+                      hh * d:(hh + 1) * d].astype(jnp.float32)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m_cur = jnp.max(s, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m_prev - m_new)
+            l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            acc = acc * alpha + jax.lax.dot_general(
+                p, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return m_new, l_new, acc
+
+        m0 = jnp.full((block_q, 1), -jnp.inf, jnp.float32)
+        l0 = jnp.zeros((block_q, 1), jnp.float32)
+        acc0 = jnp.zeros((block_q, d), jnp.float32)
+        _, l, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
+        o_ref[0, :, hh * d:(hh + 1) * d] = (acc / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def flash_attention_packed(q, k, v, heads, scale=None, block_q=None,
+                           block_k=None):
+    """Fused attention on packed [B, Nq, H*D] q / [B, Nk, H*D] k,v.
+
+    Numerics identical to flash_attention on the split layout (same dots,
+    same online softmax); backward rematerializes through dense sdpa like
+    flash_attention. Returns [B, Nq, H*D] — feed straight into to_out."""
+    return _flash_packed_forward(q, k, v, heads, scale, block_q, block_k)
+
+
+def _packed_vjp_fwd(q, k, v, heads, scale, block_q, block_k):
+    return _flash_packed_forward(q, k, v, heads, scale, block_q, block_k), (q, k, v)
+
+
+def _packed_vjp_bwd(heads, scale, block_q, block_k, res, g):
+    q, k, v = res
+
+    def dense(q_, k_, v_):
+        b, n, hd = q_.shape
+        m = k_.shape[1]
+        d = hd // heads
+        qs = q_.reshape(b, n, heads, d).transpose(0, 2, 1, 3)
+        ks = k_.reshape(b, m, heads, d).transpose(0, 2, 1, 3)
+        vs = v_.reshape(b, m, heads, d).transpose(0, 2, 1, 3)
+        o = sdpa(qs, ks, vs, scale)
+        return o.transpose(0, 2, 1, 3).reshape(b, n, hd)
+
+    _, pullback = jax.vjp(dense, q, k, v)
+    return pullback(g)
+
+
+flash_attention_packed.defvjp(_packed_vjp_fwd, _packed_vjp_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "scale", "block_q",
+                                             "block_k", "interpret"))
+def _flash_packed_forward(q, k, v, heads, scale=None, block_q=None,
+                          block_k=None, interpret=False):
+    b, nq, hd = q.shape
+    nk = k.shape[1]
+    d = hd // heads
+    assert hd == heads * d
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    # VMEM budget: full k/v tiles [1, nk, hd] live double-buffered.
+    if block_q is None:
+        block_q = min(nq, 512)
+        while nq % block_q:
+            block_q //= 2
+    if block_k is None:
+        block_k = min(nk, 1024)
+        while nk % block_k:
+            block_k //= 2
+
+    return pl.pallas_call(
+        functools.partial(_flash_packed_kernel, scale=scale, heads=heads,
+                          block_k=block_k, seq_k=nk),
+        out_shape=jax.ShapeDtypeStruct((b, nq, hd), q.dtype),
+        grid=(b, nq // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, hd), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, hd), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, hd), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, hd), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(q, k, v)

@@ -133,8 +133,9 @@ def top_ops(rows, category: str, n: int = 25):
     for r in sel[:n]:
         ms = float(r["total_self_time"]) / 1e3
         occ = r.get("occurrences")
+        occ = str(int(occ)) if occ is not None else "?"
         expr = (r["hlo_op_expression"] or "")[:200]
-        print(f"  {ms:7.2f} ms x{occ or '?':>4s} {r['hlo_op_name']}")
+        print(f"  {ms:7.2f} ms x{occ:>4s} {r['hlo_op_name']}")
         print(f"           {expr}")
 
 

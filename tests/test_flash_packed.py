@@ -1,0 +1,75 @@
+"""Golden tests for the packed-layout flash attention (round-5 formatting
+experiment): head split/merge via kernel indexing instead of HBM transposes.
+Runs the Pallas kernel in interpret mode (hermetic CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ealdm_tpu.ops.attention import _flash_packed_forward, sdpa
+
+
+def _dense_packed(q, k, v, heads, scale=None):
+    b, n, hd = q.shape
+    m = k.shape[1]
+    d = hd // heads
+    qs = q.reshape(b, n, heads, d).transpose(0, 2, 1, 3)
+    ks = k.reshape(b, m, heads, d).transpose(0, 2, 1, 3)
+    vs = v.reshape(b, m, heads, d).transpose(0, 2, 1, 3)
+    o = sdpa(qs, ks, vs, scale)
+    return o.transpose(0, 2, 1, 3).reshape(b, n, hd)
+
+
+@pytest.mark.parametrize("b,n,heads,d", [(2, 256, 8, 32), (1, 512, 4, 32),
+                                         (2, 256, 2, 64)])
+def test_flash_packed_matches_dense(rng, b, n, heads, d):
+    hd = heads * d
+    q = jnp.asarray(rng.randn(b, n, hd).astype(np.float32))
+    k = jnp.asarray(rng.randn(b, n, hd).astype(np.float32))
+    v = jnp.asarray(rng.randn(b, n, hd).astype(np.float32))
+    ref = _dense_packed(q, k, v, heads)
+    out = _flash_packed_forward(q, k, v, heads, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_flash_packed_blocked_q(rng):
+    """block_q smaller than n exercises the grid over query tiles."""
+    b, n, heads, d = 1, 512, 8, 32
+    hd = heads * d
+    q = jnp.asarray(rng.randn(b, n, hd).astype(np.float32))
+    k = jnp.asarray(rng.randn(b, n, hd).astype(np.float32))
+    v = jnp.asarray(rng.randn(b, n, hd).astype(np.float32))
+    ref = _dense_packed(q, k, v, heads)
+    out = _flash_packed_forward(q, k, v, heads, block_q=128, block_k=256,
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_flash_packed_grad_matches_dense(rng):
+    """The rematerialized dense backward: grads equal the dense path's."""
+    from ealdm_tpu.ops import attention as A
+
+    b, n, heads, d = 1, 256, 4, 32
+    hd = heads * d
+    q = jnp.asarray(rng.randn(b, n, hd).astype(np.float32))
+    k = jnp.asarray(rng.randn(b, n, hd).astype(np.float32))
+    v = jnp.asarray(rng.randn(b, n, hd).astype(np.float32))
+
+    # route the custom-vjp forward through interpret mode on CPU
+    orig = A._flash_packed_forward
+    A.__dict__["_flash_packed_forward"] = (
+        lambda *a, **kw: orig(*a, **{**kw, "interpret": True})
+    )
+    try:
+        g_packed = jax.grad(
+            lambda q_: A.flash_attention_packed(q_, k, v, heads).sum()
+        )(q)
+    finally:
+        A.__dict__["_flash_packed_forward"] = orig
+    g_dense = jax.grad(
+        lambda q_: _dense_packed(q_, k, v, heads).sum()
+    )(q)
+    np.testing.assert_allclose(np.asarray(g_packed), np.asarray(g_dense),
+                               rtol=2e-5, atol=2e-5)
