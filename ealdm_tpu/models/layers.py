@@ -28,6 +28,7 @@ from ..ops.attention import (
     flash_attention,
     flash_attention_packed,
     sdpa,
+    tiny_ctx_attention_packed,
 )
 from ..ops.norms import group_norm, silu
 
@@ -314,6 +315,11 @@ class CrossAttention(nn.Module):
             # q/k/v stay in the Dense-native [B, N, H*D]; the kernel slices
             # heads in VMEM — no split/merge HBM transposes (round 5).
             out = flash_attention_packed(q, k, v, self.heads)
+        elif (attention_impl() == "flash_packed"
+              and m * self.heads <= 128 and n >= FLASH_MIN_TOKENS):
+            # tiny-context cross-attention: block-diagonal matmuls consume q
+            # in its native layout (no seq-minor re-layout inside the scan)
+            out = tiny_ctx_attention_packed(q, k, v, self.heads)
         else:
             def split(t, length):
                 return t.reshape(

@@ -384,3 +384,41 @@ def _flash_packed_forward(q, k, v, heads, scale=None, block_q=None,
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(q, k, v)
+
+
+def tiny_ctx_attention_packed(q, k, v, heads, scale=None):
+    """Cross-attention against a TINY context without re-laying-out q.
+
+    q: [B, N, H*D] (projection-native packing, head-major columns);
+    k/v: [B, M, H*D] with small M (the LDM cross-attn context is 4 tokens).
+
+    Round-5 formatting experiment (docs/PERF.md): the dense per-head einsum
+    makes XLA copy the big q to a seq-minor layout inside the DDIM scan
+    (~0.5 ms/step at b24s6). Here the per-head dots become two plain matmuls
+    against BLOCK-DIAGONAL K/V ([H*D, H*M] / [H*M, H*D]): q is consumed in
+    its native layout, the h x h cross-head blocks are structurally zero, so
+    the result is exactly per-head attention. The h-fold FLOP waste is
+    negligible at M<=16 (the matmuls are ~1% of a UNet step). The block-diag
+    builds are step-constant when k/v are hoisted (XLA LICM hoists them out
+    of the scan, measured in round 4)."""
+    b, n, hd = q.shape
+    m = k.shape[1]
+    d = hd // heads
+    assert hd == heads * d
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    eye = jnp.eye(heads, dtype=q.dtype)
+    kr = k.reshape(b, m, heads, d)
+    vr = v.reshape(b, m, heads, d)
+    # K_bd[(g,d'), (h,m')] nonzero only at g == h: exact per-head logits
+    kbd = jnp.einsum("bmhd,gh->bgdhm", kr, eye).reshape(b, hd, heads * m)
+    vbd = jnp.einsum("bmhd,gh->bgmhd", vr, eye).reshape(b, heads * m, hd)
+    logits = jnp.einsum(
+        "bnk,bkj->bnj", q * scale, kbd, preferred_element_type=jnp.float32
+    )
+    w = jax.nn.softmax(
+        logits.reshape(b, n, heads, m).astype(jnp.float32), axis=-1
+    ).reshape(b, n, heads * m).astype(v.dtype)
+    return jnp.einsum(
+        "bnj,bjk->bnk", w, vbd, preferred_element_type=jnp.float32
+    ).astype(v.dtype)

@@ -47,6 +47,23 @@ def test_flash_packed_blocked_q(rng):
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("b,n,m,heads,d", [(2, 256, 4, 8, 32),
+                                            (1, 1024, 16, 8, 32),
+                                            (2, 256, 4, 2, 64)])
+def test_tiny_ctx_packed_matches_dense(rng, b, n, m, heads, d):
+    """Block-diagonal tiny-context cross-attention == per-head sdpa."""
+    from ealdm_tpu.ops.attention import tiny_ctx_attention_packed
+
+    hd = heads * d
+    q = jnp.asarray(rng.randn(b, n, hd).astype(np.float32))
+    k = jnp.asarray(rng.randn(b, m, hd).astype(np.float32))
+    v = jnp.asarray(rng.randn(b, m, hd).astype(np.float32))
+    ref = _dense_packed(q, k, v, heads)
+    out = tiny_ctx_attention_packed(q, k, v, heads)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_flash_packed_grad_matches_dense(rng):
     """The rematerialized dense backward: grads equal the dense path's."""
     from ealdm_tpu.ops import attention as A
