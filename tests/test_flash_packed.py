@@ -90,3 +90,33 @@ def test_flash_packed_grad_matches_dense(rng):
     )(q)
     np.testing.assert_allclose(np.asarray(g_packed), np.asarray(g_dense),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_unet_flash_packed_mode_matches_dense(rng):
+    """Full tiny-UNet forward under set_attention_impl('flash_packed') ==
+    the dense default. On CPU the packed Pallas branch stays off (TPU-only
+    guard) but the tiny-context block-diagonal cross-attention engages at
+    n>=256 sites — the end-to-end wiring equivalence this pins."""
+    from ealdm_tpu.models import UNetModel
+    from ealdm_tpu.ops.attention import set_attention_impl
+
+    cfg = dict(
+        image_size=16, in_channels=4, out_channels=4, model_channels=32,
+        attention_resolutions=[1], num_res_blocks=1, channel_mult=[1],
+        num_head_channels=16, use_spatial_transformer=True,
+        transformer_depth=1, context_dim=32,
+    )
+    m = UNetModel(**cfg)
+    x = jnp.asarray(rng.randn(2, 16, 16, 4).astype(np.float32))  # n=256
+    t = jnp.zeros((2,), jnp.int32)
+    ctx = jnp.asarray(rng.randn(2, 4, 32).astype(np.float32))
+    params = m.init(jax.random.PRNGKey(0), x, t, ctx)["params"]
+
+    ref = m.apply({"params": params}, x, t, ctx)
+    set_attention_impl("flash_packed")
+    try:
+        out = m.apply({"params": params}, x, t, ctx)
+    finally:
+        set_attention_impl("dense")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
