@@ -122,6 +122,36 @@ def report(rows, steps: int):
               f"({100 * attn_ms / total:.1f}% of busy)")
 
 
+def conv_shape_census(rows, rate_below_tfs: float = 165.0):
+    """Attribute each below-threshold conv-fusion output shape to its
+    producing module (xprof tf_op_name + source_info) — the evidence for
+    the round-5 'dispersion residual' table in docs/PERF.md, which showed
+    the 113-149 TF/s tail is the transformer projection dot_generals
+    writing layout-contorted outputs for the split-head consumers."""
+    agg = defaultdict(lambda: [0.0, 0.0, defaultdict(float), set()])
+    for r in rows:
+        if r["category"] != "convolution fusion":
+            continue
+        ms = float(r["total_self_time"]) / 1e3
+        m = re.search(r"= \S+\[([\d,]+)\]", r["hlo_op_expression"])
+        sig = m.group(1) if m else "?"
+        a = agg[sig]
+        a[0] += ms
+        a[1] += float(r["model_flop_rate"] or 0) * ms / 1e3  # GFLOP
+        tf_op = "/".join((r.get("tf_op_name") or "?").split("/")[-3:])
+        a[2][tf_op] += ms
+        m2 = re.search(r"= \S+\[[\d,]+\]\{([\d,]+)", r["hlo_op_expression"])
+        a[3].add(m2.group(1) if m2 else "?")
+    print(f"\nconv fusions below {rate_below_tfs:.0f} TF/s, by output shape:")
+    for sig, (ms, gf, tfs, louts) in sorted(agg.items(), key=lambda kv: -kv[1][0]):
+        rate = gf / ms if ms else 0.0
+        if rate >= rate_below_tfs or ms < 20:
+            continue
+        print(f"  [{sig}] {ms:.1f} ms @ {rate:.1f} TF/s  out-layouts {sorted(louts)}")
+        for s, v in sorted(tfs.items(), key=lambda kv: -kv[1])[:4]:
+            print(f"      {v:7.1f} ms  {s[:140]}")
+
+
 def top_ops(rows, category: str, n: int = 25):
     """Drill-down: the top individual HLOs of one category, with their op
     expressions (the evidence trail for naming each producer)."""
@@ -152,6 +182,9 @@ def main():
                     help="also print the top individual HLOs of this "
                          "category (e.g. 'data formatting')")
     ap.add_argument("--top-n", type=int, default=25)
+    ap.add_argument("--conv-census", action="store_true",
+                    help="attribute below-threshold conv-fusion shapes to "
+                         "their producing modules (docs/PERF.md round 5)")
     a = ap.parse_args()
 
     if not a.no_capture:
@@ -160,6 +193,8 @@ def main():
     report(rows, a.steps)
     if a.top_ops:
         top_ops(rows, a.top_ops, a.top_n)
+    if a.conv_census:
+        conv_shape_census(rows)
 
 
 if __name__ == "__main__":
