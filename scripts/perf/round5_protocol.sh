@@ -16,8 +16,9 @@ timeout 580 python bench.py --attn flash_packed  > /tmp/r5/packed.log 2>&1
 timeout 580 python bench.py --attn flash_packed --streams 3 > /tmp/r5/packed_s3.log 2>&1
 timeout 580 python bench.py --attn flash_packed --streams 1 > /tmp/r5/packed_s1.log 2>&1
 
-# 4. re-trace whichever attention wins, for the named-op table
+# 4. re-trace the packed attention, for the named-op + conv-census tables
 timeout 580 python scripts/perf/trace_breakdown.py --logdir /tmp/r5/trace \
+    --attn flash_packed --conv-census \
     --top-ops 'data formatting' --top-n 20      > /tmp/r5/trace.log 2>&1
 
 # 5. the remaining BASELINE.json config rows

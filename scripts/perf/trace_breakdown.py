@@ -34,12 +34,14 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
 
 def capture(logdir: str, batch: int, steps: int, streams: int,
-            hoist: bool) -> None:
+            hoist: bool, attn: str = "flash") -> None:
     """Run the bench sampling program once under jax.profiler."""
     import jax
 
     import bench
+    from ealdm_tpu.ops.attention import set_attention_impl
 
+    set_attention_impl(attn)
     # build + warm the exact bench program, then trace one execution
     run, args, _ = bench.build_sample_program(
         batch_size=batch, steps=steps, streams=streams, hoist=hoist
@@ -175,6 +177,10 @@ def main():
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--streams", type=int, default=6)
     ap.add_argument("--no-hoist", action="store_true")
+    ap.add_argument("--attn", default="flash",
+                    choices=["dense", "flash", "flash_packed"],
+                    help="attention impl for the captured program "
+                         "(matches bench.py --attn)")
     ap.add_argument("--logdir", default="/tmp/ealdm_trace")
     ap.add_argument("--no-capture", action="store_true",
                     help="only analyze an existing trace in --logdir")
@@ -188,7 +194,7 @@ def main():
     a = ap.parse_args()
 
     if not a.no_capture:
-        capture(a.logdir, a.batch, a.steps, a.streams, not a.no_hoist)
+        capture(a.logdir, a.batch, a.steps, a.streams, not a.no_hoist, a.attn)
     rows = hlo_stats_rows(a.logdir)
     report(rows, a.steps)
     if a.top_ops:
