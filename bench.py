@@ -300,6 +300,21 @@ def build_sample_program(batch_size: int = 24, steps: int = 50,
     return fn, args, info
 
 
+def force_attention_impl(attn_impl: str):
+    """Pin the global attention impl AFTER enable_inference_optimizations
+    (which sets "flash"): jams the round-5 packed-layout experiment or
+    forces dense, for bench --attn and trace_breakdown --attn."""
+    import ealdm_tpu as _e
+    _orig = _e.enable_inference_optimizations
+
+    def _patched():
+        _orig()
+        from ealdm_tpu.ops.attention import set_attention_impl
+        set_attention_impl(attn_impl)
+
+    _e.enable_inference_optimizations = _patched
+
+
 def main(batch_size: int = 24, steps: int = 50, tiny: bool = False,
          unet_format: str = "HWNC", norm_impl: str = "xla",
          streams: int = 6, train: bool = False, remat: str = "dots",
@@ -316,17 +331,7 @@ def main(batch_size: int = 24, steps: int = 50, tiny: bool = False,
     from ealdm_tpu.ops.winograd import set_conv_impl
     set_conv_impl(conv_impl)
     if attn_impl is not None:
-        # applied AFTER enable_inference_optimizations (which sets "flash"):
-        # jam the round-5 packed-layout experiment or force dense
-        import ealdm_tpu as _e
-        _orig = _e.enable_inference_optimizations
-
-        def _patched():
-            _orig()
-            from ealdm_tpu.ops.attention import set_attention_impl
-            set_attention_impl(attn_impl)
-
-        _e.enable_inference_optimizations = _patched
+        force_attention_impl(attn_impl)
 
     if train:
         import ealdm_tpu

@@ -275,11 +275,16 @@ def _flash_packed_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, heads,
 
     q_ref: [1, block_q, H*D]; k_ref/v_ref: [1, seq_k, H*D] (full keys in
     VMEM — UNet sequences are short); o_ref: [1, block_q, H*D]. Per head,
-    a d-strip of 32 lanes is statically sliced and attended independently.
+    a d-strip of 32 lanes is statically sliced and attended independently;
+    the per-head results are concatenated in VMEM and stored as ONE
+    full-width tile (a d=32 lane-slice *store* is the op most likely to
+    trip Mosaic's lane-alignment rules on real hardware — reads of
+    unaligned strips lower to in-VMEM relayouts, which is the point).
     """
     d = q_ref.shape[-1] // heads
     num_kb = seq_k // block_k
 
+    outs = []
     for hh in range(heads):
         q = q_ref[0, :, hh * d:(hh + 1) * d].astype(jnp.float32) * scale
         block_q = q.shape[0]
@@ -309,7 +314,8 @@ def _flash_packed_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, heads,
         l0 = jnp.zeros((block_q, 1), jnp.float32)
         acc0 = jnp.zeros((block_q, d), jnp.float32)
         _, l, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
-        o_ref[0, :, hh * d:(hh + 1) * d] = (acc / l).astype(o_ref.dtype)
+        outs.append((acc / l).astype(o_ref.dtype))
+    o_ref[0] = jnp.concatenate(outs, axis=-1)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))

@@ -39,9 +39,10 @@ def capture(logdir: str, batch: int, steps: int, streams: int,
     import jax
 
     import bench
-    from ealdm_tpu.ops.attention import set_attention_impl
 
-    set_attention_impl(attn)
+    # enable_inference_optimizations (called inside build_sample_program)
+    # would reset the impl to "flash"; bench's patch applies ours after it
+    bench.force_attention_impl(attn)
     # build + warm the exact bench program, then trace one execution
     run, args, _ = bench.build_sample_program(
         batch_size=batch, steps=steps, streams=streams, hoist=hoist
